@@ -1,0 +1,17 @@
+"""CLI: eigen-split depth evaluation (reference evaluate_depth.py
+equivalent): load weights, run inference over the eigen test split, apply
+the garg-crop / median-scaling protocol, print the 7-metric row.
+"""
+
+from fusiondepth_tpu.config import parse_args
+
+
+def main():
+    cfg = parse_args()
+    from fusiondepth_tpu.training.eval_driver import evaluate
+
+    evaluate(cfg)
+
+
+if __name__ == "__main__":
+    main()

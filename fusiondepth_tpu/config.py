@@ -1,0 +1,228 @@
+"""Typed configuration for all entry points.
+
+Mirrors the reference's argparse schema (reference options.py:9-480) with the
+same flag names and *effective* defaults, but honest booleans: the reference
+marks several "enable" flags `action="store_false"` so they default ON
+(need_4beam, need_2_channel, beam_encoder, trainer_siloss_all_scale,
+gdc_loss_only_on_scale_0, completion_siloss) and uses "true"/"false" strings
+for others — here they are all plain bools with the same effective value.
+
+`parse_args` builds the CLI (same flag names; booleans accept
+--flag/--no-flag and the legacy true/false string forms).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class Config:
+    # PATHS
+    data_path: str = "kitti_data"
+    log_dir: str = "log"
+
+    # TRAINING
+    model_name: str = "mdp"
+    split: str = "eigen_zhou"
+    num_layers: int = 50
+    dataset: str = "kitti"
+    png: bool = False
+    height: int = 192
+    width: int = 640
+    disparity_smoothness: float = 1e-3
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    use_stereo: bool = False
+    frame_ids: Tuple[int, ...] = (0, -1, 1)
+
+    # OPTIMIZATION
+    batch_size: int = 5
+    learning_rate: float = 1e-4
+    num_epochs: int = 20
+    scheduler_step_size: int = 10
+
+    # ABLATION
+    v1_multiscale: bool = False
+    avg_reprojection: bool = False
+    disable_automasking: bool = False
+    predictive_mask: bool = False
+    no_ssim: bool = False
+    weights_init: str = "pretrained"  # or "scratch"
+    pose_model_input: str = "pairs"  # or "all"
+    pose_model_type: str = "separate_resnet"  # posecnn|separate_resnet|shared
+
+    # SYSTEM
+    num_workers: int = 4
+    seed: int = 1
+
+    # LOADING
+    load_weights_folder: Optional[str] = None
+    train_load_weights_folder: Optional[str] = None
+    refine_load_weights_folder: Optional[str] = None
+    models_to_load: Tuple[str, ...] = ("encoder", "depth", "pose_encoder", "pose")
+
+    # LOGGING
+    log_frequency: int = 250
+    save_frequency: int = 1
+
+    # EVALUATION
+    eval_stereo: bool = False
+    eval_mono: bool = False
+    disable_median_scaling: bool = False
+    pred_depth_scale_factor: float = 1.0
+    ext_disp_to_eval: Optional[str] = None
+    eval_split: str = "eigen"
+    save_pred_disps: bool = False
+    no_eval: bool = False
+    post_process: bool = False
+    eval_gdc: bool = False
+    eval_batch_size: int = 1
+
+    # 4-BEAM / 2-CHANNEL LIDAR
+    nbeams: int = 4
+    need_4beam: bool = True
+    need_full_res_4beam: bool = False
+    need_path: bool = False
+    cat_4beam_to_color: bool = False
+    need_2_channel: bool = True
+    cat2start: bool = False
+    cat2end: bool = False
+    beam_encoder: bool = True
+    trainer_siloss: bool = True
+    trainer_siloss_all_scale: bool = True
+    random_sample: int = -1
+
+    # REFINEMENT (stage 2)
+    train_entire_net: bool = False
+    refine_shallow: bool = False
+    refineUnet: bool = False
+    refine_deep: bool = False
+    refine_2d: bool = True
+    refine_iter: int = 1
+    refine_iter_gama: float = 0.8
+    refine_offset: bool = False
+    refine_depthnet_with_beam: bool = False
+    clone_gdc: bool = True
+    clone_path: Optional[str] = None
+    need_inf_gdc: bool = False
+    catxy: bool = True
+    refine2d_deep: bool = True
+    refine_a0: bool = True
+    gdc_loss_threshold: float = 2.0
+    gdc_loss_weight: float = 0.008
+    gdc_loss_only_on_scale_0: bool = True
+    gdc_abs_loss: float = 0.0
+    si_var: float = 0.3
+
+    # COMPLETION
+    completion_val: str = "select"
+    completion_siloss_weight: float = 0.1
+    completion_siloss_all_scale: bool = False
+    completion_eigen_crop: bool = False
+    completion_num_epochs: int = 3
+    completion_scheduler_step_size: int = 25
+    completion_not_full_res: bool = False
+    completion_amp: bool = False
+    completion_pose_num_layers: int = 18
+    completion_siloss: bool = True
+    completion_l1loss: bool = False
+    completion_clip: float = 0.01
+    completion_num_layers: int = 50
+    completion_need2channel: bool = False
+    completion_test: bool = False
+
+    # DEBUG / VIS
+    debug: bool = False
+    visualize: bool = False
+
+    # TPU-NATIVE KNOBS (new; no reference equivalent)
+    compute_dtype: str = "float32"  # "bfloat16" for MXU speed
+    mesh_shape: Tuple[int, ...] = ()  # () = all devices on one data axis
+    grad_accum_steps: int = 1  # lax.scan microbatching
+    jit_backend: Optional[str] = None
+    log_examples_sec: bool = True
+
+    # ---- derived helpers ----
+    @property
+    def num_scales(self) -> int:
+        return len(self.scales)
+
+    @property
+    def num_input_frames(self) -> int:
+        return len(self.frame_ids)
+
+    @property
+    def num_pose_frames(self) -> int:
+        return 2 if self.pose_model_input == "pairs" else self.num_input_frames
+
+    @property
+    def use_pose_net(self) -> bool:
+        return not (self.use_stereo and tuple(self.frame_ids) == (0,))
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        d = {k: v for k, v in d.items() if k in _FIELD_NAMES}
+        for k in ("scales", "frame_ids", "models_to_load", "mesh_shape"):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        return Config(**d)
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(Config)}
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes", "on"):
+        return True
+    if v.lower() in ("false", "0", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="FusionDepth-TPU options")
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.type in ("bool", bool):
+            # accept --flag, --flag true/false, and --no-flag
+            p.add_argument(name, nargs="?", const=True, default=default,
+                           type=_str2bool)
+            p.add_argument("--no-" + f.name, dest=f.name,
+                           action="store_false")
+        elif f.type in ("Tuple[int, ...]",) or "Tuple" in str(f.type):
+            if f.name in ("models_to_load",):
+                p.add_argument(name, nargs="+", type=str, default=default)
+            else:
+                p.add_argument(name, nargs="+", type=int, default=default)
+        elif f.type in ("int", int):
+            p.add_argument(name, type=int, default=default)
+        elif f.type in ("float", float):
+            p.add_argument(name, type=float, default=default)
+        else:
+            p.add_argument(name, type=str, default=default)
+    return p
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> Config:
+    ns = build_parser().parse_args(argv)
+    d = {k: v for k, v in vars(ns).items() if k in _FIELD_NAMES}
+    for k in ("scales", "frame_ids", "models_to_load", "mesh_shape"):
+        if isinstance(d.get(k), list):
+            d[k] = tuple(d[k])
+    return Config(**d)

@@ -1,0 +1,129 @@
+"""U-Net depth decoder with the reference's fusion hooks.
+
+Semantics match reference networks/depth_decoder.py:6-96:
+- 5 up-stages; stage i: upconv0 -> nearest 2x upsample -> concat skip
+  (encoder feature i-1, additively fused with beam features when given)
+  [-> concat injected depth map at scales in `scales`] -> upconv1.
+- All convs are reflect-pad 3x3 + ELU (layers.py:100-130).
+- Sigmoid disparity head per scale; `tanh_head` for the offset variant;
+  `cat2end` concatenates the 2-channel LiDAR before the scale-0 head;
+  `deep` doubles every ConvBlock; `road`(+`catxy`) widens the skip concat
+  by 3(+3) channels for the pseudo-3D refine input.
+
+NHWC layout. All control flow is static (python-level on config), so one
+jit trace covers the whole decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fusiondepth_tpu.ops.padding import reflect_pad_hw
+from fusiondepth_tpu.ops.resize import upsample2x_nearest
+
+NUM_CH_DEC = (16, 32, 64, 128, 256)
+
+
+class ConvBlock(nn.Module):
+    """Reflect-pad 3x3 conv + ELU (reference layers.py:100-130)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = reflect_pad_hw(x, 1)
+        x = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype,
+                    name="conv")(x)
+        return nn.elu(x)
+
+
+class Conv3x3(nn.Module):
+    """Reflect-pad 3x3 conv, no nonlinearity (disparity head)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = reflect_pad_hw(x, 1)
+        return nn.Conv(self.features, (3, 3), padding="VALID",
+                       dtype=self.dtype, name="conv")(x)
+
+
+class DepthDecoder(nn.Module):
+    scales: Sequence[int] = (0, 1, 2, 3)
+    num_output_channels: int = 1
+    use_skips: bool = True
+    cat2end: bool = False
+    road: bool = False
+    catxy: bool = False
+    deep: bool = False
+    tanh_head: bool = False
+    dtype: Any = jnp.float32
+
+    def _block(self, features, name):
+        if self.deep:
+            # two stacked ConvBlocks: ch -> ch -> features
+            class _Deep(nn.Module):
+                features: int
+                dtype: Any
+
+                @nn.compact
+                def __call__(inner, x):
+                    x = ConvBlock(x.shape[-1], dtype=inner.dtype, name="a")(x)
+                    return ConvBlock(inner.features, dtype=inner.dtype,
+                                     name="b")(x)
+
+            return _Deep(features, self.dtype, name=name)
+        return ConvBlock(features, dtype=self.dtype, name=name)
+
+    @nn.compact
+    def __call__(
+        self,
+        input_features: Sequence[jnp.ndarray],
+        two_channel: Optional[jnp.ndarray] = None,
+        beam_features: Optional[Sequence[jnp.ndarray]] = None,
+        depth_maps: Optional[dict] = None,
+    ):
+        """input_features: 5-level NHWC pyramid (coarsest last).
+
+        beam_features: same pyramid from the beam encoder, fused additively.
+        depth_maps: {("disp", i): (B, Hi, Wi, 3[+3])} pseudo-3D injections
+        (road mode). Returns {("disp", s): (B, Hs, Ws, C)} for s in scales.
+        """
+        outputs = {}
+        if beam_features is not None:
+            x = input_features[-1] + beam_features[-1]
+        else:
+            x = input_features[-1]
+        x = x.astype(self.dtype)
+
+        for i in range(4, -1, -1):
+            x = self._block(NUM_CH_DEC[i], name=f"upconv_{i}_0")(x)
+            xs = [upsample2x_nearest(x)]
+            if self.use_skips and i > 0:
+                skip = input_features[i - 1]
+                if beam_features is not None:
+                    skip = skip + beam_features[i - 1]
+                xs.append(skip.astype(self.dtype))
+            if depth_maps is not None and i in self.scales and self.use_skips:
+                xs.append(depth_maps[("disp", i)].astype(self.dtype))
+            x = jnp.concatenate(xs, axis=-1)
+            x = self._block(NUM_CH_DEC[i], name=f"upconv_{i}_1")(x)
+            if i in self.scales:
+                head_in = x
+                if i == 0 and self.cat2end:
+                    head_in = jnp.concatenate(
+                        [x, two_channel.astype(self.dtype)], axis=-1)
+                d = Conv3x3(self.num_output_channels, dtype=self.dtype,
+                            name=f"dispconv_{i}")(head_in)
+                if self.tanh_head:
+                    outputs[("disp", i)] = jnp.tanh(d)
+                else:
+                    outputs[("disp", i)] = nn.sigmoid(d)
+
+        return outputs

@@ -1,0 +1,266 @@
+"""Model bundle: constructs the network set the trainer uses and runs the
+full forward pass (depth + poses) on a batch.
+
+Mirrors the reference's model wiring (trainer.py:66-127, process_batch
+:268-319, predict_poses :321-388) as one functional `forward` over a params
+pytree — everything traces into a single XLA computation.
+
+Batch contract (NHWC jnp arrays; `F` indexes config.frame_ids order):
+  color          (B, F, H, W, 3)   non-augmented frames
+  color_aug      (B, F, H, W, 3)   color-jittered frames (network input)
+  two_channel    (B, F, H, W, 2)   expanded-LiDAR 2-channel encoding
+  four_beam      (B, H, W, 1)      sparse K-beam depth (meters / 100)
+  K, inv_K       (B, 4, 4)         full-res intrinsics
+  stereo_T       (B, 4, 4)         only when use_stereo
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from fusiondepth_tpu.config import Config
+from fusiondepth_tpu.models.resnet import ResnetEncoder, RESNET_FEATURE_CHANNELS
+from fusiondepth_tpu.models.depth_decoder import DepthDecoder
+from fusiondepth_tpu.models.pose import PoseDecoder, PoseCNN
+from fusiondepth_tpu.ops.pose import transformation_from_parameters
+
+
+def _dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+class FusionNets:
+    """Holds the flax module definitions for one trainer configuration."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        dt = _dtype(cfg)
+
+        enc_in = 3
+        if cfg.cat_4beam_to_color:
+            enc_in = 4
+        elif cfg.cat2start:
+            enc_in = 5
+        self.encoder = ResnetEncoder(depth=cfg.num_layers, in_channels=enc_in,
+                                     dtype=dt)
+
+        self.beam_encoder = None
+        self.beam_encoder_pose = None
+        if cfg.beam_encoder:
+            self.beam_encoder = ResnetEncoder(
+                depth=cfg.num_layers, in_channels=2, dtype=dt)
+            self.beam_encoder_pose = ResnetEncoder(
+                depth=cfg.num_layers, in_channels=2 * cfg.num_pose_frames,
+                dtype=dt)
+
+        self.depth = DepthDecoder(scales=tuple(cfg.scales),
+                                  cat2end=cfg.cat2end, dtype=dt)
+
+        self.pose_encoder = None
+        self.pose = None
+        if cfg.use_pose_net:
+            if cfg.pose_model_type == "separate_resnet":
+                self.pose_encoder = ResnetEncoder(
+                    depth=cfg.num_layers,
+                    in_channels=3 * cfg.num_pose_frames, dtype=dt)
+                self.pose = PoseDecoder(num_input_features=1,
+                                        num_frames_to_predict_for=2, dtype=dt)
+            elif cfg.pose_model_type == "shared":
+                self.pose = PoseDecoder(
+                    num_input_features=cfg.num_pose_frames, dtype=dt)
+            elif cfg.pose_model_type == "posecnn":
+                n = (cfg.num_input_frames
+                     if cfg.pose_model_input == "all" else 2)
+                self.pose = PoseCNN(num_input_frames=n, dtype=dt)
+
+    # ---- initialization ----
+
+    def init(self, rng, batch_size: int = 1) -> Dict[str, Any]:
+        cfg = self.cfg
+        H, W = cfg.height, cfg.width
+        keys = jax.random.split(rng, 8)
+        x = jnp.zeros((batch_size, H, W, self.encoder.in_channels))
+        variables: Dict[str, Any] = {}
+        variables["encoder"] = self.encoder.init(keys[0], x, train=False)
+
+        feats_shape = self._pyramid_shapes(batch_size)
+        dummy_feats = [jnp.zeros(s) for s in feats_shape]
+
+        if self.beam_encoder is not None:
+            variables["beam_encoder"] = self.beam_encoder.init(
+                keys[1], jnp.zeros((batch_size, H, W, 2)), train=False)
+            variables["beam_encoder_pose"] = self.beam_encoder_pose.init(
+                keys[2],
+                jnp.zeros((batch_size, H, W, 2 * cfg.num_pose_frames)),
+                train=False)
+
+        two_ch = jnp.zeros((batch_size, H, W, 2)) if cfg.cat2end else None
+        variables["depth"] = self.depth.init(
+            keys[3], dummy_feats, two_channel=two_ch)
+
+        if self.pose is not None:
+            if self.pose_encoder is not None:
+                variables["pose_encoder"] = self.pose_encoder.init(
+                    keys[4],
+                    jnp.zeros((batch_size, H, W, 3 * cfg.num_pose_frames)),
+                    train=False)
+                variables["pose"] = self.pose.init(
+                    keys[5], [dummy_feats[-1]],
+                    beam_last_feature=(dummy_feats[-1]
+                                       if cfg.beam_encoder else None))
+            elif cfg.pose_model_type == "posecnn":
+                n = (cfg.num_input_frames
+                     if cfg.pose_model_input == "all" else 2)
+                variables["pose"] = self.pose.init(
+                    keys[5], jnp.zeros((batch_size, H, W, 3 * n)))
+            else:  # shared
+                variables["pose"] = self.pose.init(
+                    keys[5], [dummy_feats[-1]] * cfg.num_pose_frames)
+        return variables
+
+    def _pyramid_shapes(self, batch_size):
+        cfg = self.cfg
+        chans = RESNET_FEATURE_CHANNELS[cfg.num_layers]
+        return [
+            (batch_size, cfg.height // 2 ** (i + 1), cfg.width // 2 ** (i + 1), c)
+            for i, c in enumerate(chans)
+        ]
+
+    # ---- forward ----
+
+    def _apply(self, module, variables, *args, train: bool, **kwargs):
+        if train:
+            out, updates = module.apply(
+                variables, *args, train=True, mutable=["batch_stats"],
+                **kwargs)
+            return out, updates
+        return module.apply(variables, *args, train=False, **kwargs), None
+
+    def forward_depth(self, variables, batch, train: bool):
+        """Depth branch: encoder (+beam encoder) -> decoder disparities.
+
+        Returns (outputs dict, batch_stats updates dict).
+        """
+        cfg = self.cfg
+        updates: Dict[str, Any] = {}
+        color0 = batch["color_aug"][:, 0]
+
+        if cfg.cat_4beam_to_color:
+            enc_in = jnp.concatenate([color0, batch["four_beam"]], axis=-1)
+        elif cfg.cat2start:
+            enc_in = jnp.concatenate(
+                [color0, batch["two_channel"][:, 0]], axis=-1)
+        else:
+            enc_in = color0
+        feats, upd = self._apply(self.encoder, variables["encoder"], enc_in,
+                                 train=train)
+        if upd:
+            updates["encoder"] = upd
+
+        beam_feats = None
+        if cfg.beam_encoder:
+            beam_feats, upd = self._apply(
+                self.beam_encoder, variables["beam_encoder"],
+                batch["two_channel"][:, 0], train=train)
+            if upd:
+                updates["beam_encoder"] = upd
+
+        two_ch = batch["two_channel"][:, 0] if cfg.cat2end else None
+        outputs = self.depth.apply(
+            variables["depth"], feats, two_channel=two_ch,
+            beam_features=beam_feats)
+        return outputs, feats, updates
+
+    def predict_poses(self, variables, batch, features, train: bool):
+        """Per-source-frame relative poses (reference trainer.py:321-388)."""
+        cfg = self.cfg
+        outputs: Dict[Any, Any] = {}
+        updates: Dict[str, Any] = {}
+        fid_index = {f: i for i, f in enumerate(cfg.frame_ids)}
+
+        if cfg.num_pose_frames == 2:
+            for f_i in cfg.frame_ids[1:]:
+                if f_i == "s":
+                    continue
+                # temporal order: (f_i, 0) if f_i < 0 else (0, f_i)
+                pair = (f_i, 0) if f_i < 0 else (0, f_i)
+                colors = [batch["color_aug"][:, fid_index[f]] for f in pair]
+
+                beam_last = None
+                if cfg.pose_model_type == "separate_resnet":
+                    pe_in = jnp.concatenate(colors, axis=-1)
+                    pe_feats, upd = self._apply(
+                        self.pose_encoder, variables["pose_encoder"], pe_in,
+                        train=train)
+                    if upd:
+                        updates["pose_encoder"] = upd
+                    pose_in = [pe_feats[-1]]
+                    if cfg.beam_encoder:
+                        bp_in = jnp.concatenate(
+                            [batch["two_channel"][:, fid_index[f]]
+                             for f in pair], axis=-1)
+                        bp_feats, upd = self._apply(
+                            self.beam_encoder_pose,
+                            variables["beam_encoder_pose"], bp_in,
+                            train=train)
+                        if upd:
+                            updates["beam_encoder_pose"] = upd
+                        beam_last = bp_feats[-1]
+                    aa, t = self.pose.apply(variables["pose"], pose_in,
+                                            beam_last_feature=beam_last)
+                elif cfg.pose_model_type == "posecnn":
+                    aa, t = self.pose.apply(
+                        variables["pose"], jnp.concatenate(colors, axis=-1))
+                else:  # shared
+                    pose_in = [features] * 2  # placeholder; shared path uses
+                    # per-frame encoder features — handled by caller if used.
+                    raise NotImplementedError(
+                        "pose_model_type='shared' forward is not wired yet")
+
+                outputs[("axisangle", 0, f_i)] = aa
+                outputs[("translation", 0, f_i)] = t
+                outputs[("cam_T_cam", 0, f_i)] = transformation_from_parameters(
+                    aa[:, 0, 0], t[:, 0, 0], invert=(f_i < 0))
+        else:
+            colors = jnp.concatenate(
+                [batch["color_aug"][:, fid_index[f]]
+                 for f in cfg.frame_ids if f != "s"], axis=-1)
+            if cfg.pose_model_type == "separate_resnet":
+                pe_feats, upd = self._apply(
+                    self.pose_encoder, variables["pose_encoder"], colors,
+                    train=train)
+                if upd:
+                    updates["pose_encoder"] = upd
+                aa, t = self.pose.apply(variables["pose"], [pe_feats[-1]])
+            else:
+                aa, t = self.pose.apply(variables["pose"], colors)
+            for i, f_i in enumerate(cfg.frame_ids[1:]):
+                if f_i == "s":
+                    continue
+                outputs[("axisangle", 0, f_i)] = aa
+                outputs[("translation", 0, f_i)] = t
+                outputs[("cam_T_cam", 0, f_i)] = transformation_from_parameters(
+                    aa[:, i, 0], t[:, i, 0])
+        return outputs, updates
+
+    def forward(self, variables, batch, train: bool, with_pose: bool = True):
+        outputs, feats, updates = self.forward_depth(variables, batch, train)
+        if with_pose and self.cfg.use_pose_net:
+            pose_out, pose_upd = self.predict_poses(
+                variables, batch, feats, train)
+            outputs.update(pose_out)
+            updates.update(pose_upd)
+        return outputs, updates
+
+
+def merge_batch_stats(variables: Dict[str, Any], updates: Dict[str, Any]):
+    """Fold mutated batch_stats collections back into the variables tree."""
+    out = dict(variables)
+    for name, upd in updates.items():
+        v = dict(out[name])
+        v["batch_stats"] = upd["batch_stats"]
+        out[name] = v
+    return out

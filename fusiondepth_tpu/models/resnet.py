@@ -1,0 +1,155 @@
+"""Flax ResNet encoder family (18/34/50/101/152) with the fusion first-conv
+variants of the reference (resnet_encoder.py:53-103).
+
+TPU-first design notes:
+- NHWC layout, convs lower straight onto the MXU.
+- Returns the 5-level feature pyramid [stem_relu, layer1..layer4] with
+  channels RESNET_FEATURE_CHANNELS[depth].
+- `in_channels` generalizes the reference's conv1 swap-outs: 3 (RGB),
+  4 (cat4beam), 5 (cat2channel), 2 or 2N (beam encoder), 6 (refine encoder),
+  3N (multi-image pose encoder).
+- Input normalization (x - 0.45) / 0.225 is built in, matching
+  resnet_encoder.py:94.
+- BatchNorm with running stats (mutable 'batch_stats' collection), matching
+  torchvision eps=1e-5, momentum 0.1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+RESNET_STAGES = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+RESNET_FEATURE_CHANNELS = {
+    18: (64, 64, 128, 256, 512),
+    34: (64, 64, 128, 256, 512),
+    50: (64, 256, 512, 1024, 2048),
+    101: (64, 256, 512, 1024, 2048),
+    152: (64, 256, 512, 1024, 2048),
+}
+
+
+class _BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        identity = x
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if identity.shape[-1] != self.features or self.stride != 1:
+            identity = nn.Conv(self.features, (1, 1),
+                               (self.stride, self.stride), use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            identity = norm("downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class _Bottleneck(nn.Module):
+    features: int  # bottleneck width; output is 4x
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        out_ch = self.features * 4
+        identity = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = nn.relu(norm("bn2")(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = norm("bn3")(y)
+        if identity.shape[-1] != out_ch or self.stride != 1:
+            identity = nn.Conv(out_ch, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = norm("downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResnetEncoder(nn.Module):
+    """5-level ResNet feature pyramid over an NHWC image.
+
+    Args:
+      depth: 18/34/50/101/152.
+      in_channels: first-conv input channels (see module docstring).
+      normalize_input: apply (x - 0.45) / 0.225 (on for RGB paths; the
+        reference applies it to every encoder input, including 2-channel
+        LiDAR — resnet_encoder.py:94 — so default True).
+      dtype: compute dtype (bfloat16 for TPU speed; params stay fp32).
+    """
+
+    depth: int = 18
+    in_channels: int = 3
+    normalize_input: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
+        stages = RESNET_STAGES[self.depth]
+        bottleneck = self.depth > 34
+        block = _Bottleneck if bottleneck else _BasicBlock
+
+        if self.normalize_input:
+            x = (x - 0.45) / 0.225
+        x = x.astype(self.dtype)
+
+        features = []
+        y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        features.append(y)
+
+        # torch MaxPool2d(3, 2, padding=1) as shifted-slice max: reduce_window
+        # (what nn.max_pool lowers to) lacks a linearization rule under jit
+        # in this JAX version; the explicit max fuses just as well.
+        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        Ho = (y.shape[1] - 3) // 2 + 1
+        Wo = (y.shape[2] - 3) // 2 + 1
+        m = None
+        for di in range(3):
+            for dj in range(3):
+                t = y[:, di:di + 2 * Ho - 1:2, dj:dj + 2 * Wo - 1:2, :]
+                m = t if m is None else jnp.maximum(m, t)
+        y = m
+
+        widths = (64, 128, 256, 512)
+        for stage_i, (w, n_blocks) in enumerate(zip(widths, stages)):
+            for block_i in range(n_blocks):
+                stride = 2 if (stage_i > 0 and block_i == 0) else 1
+                y = block(w, stride, dtype=self.dtype,
+                          name=f"layer{stage_i + 1}_{block_i}")(y, train)
+            features.append(y)
+
+        return features

@@ -1,0 +1,179 @@
+"""The self-supervised photometric objective: view synthesis + automask +
+smoothness + scale-invariant LiDAR loss, assembled as one pure function.
+
+Mirrors reference trainer.py:425-596 (generate_images_pred + compute_losses).
+Everything is static-shaped and traces into a single XLA computation; the
+per-pixel min over warp candidates is a stacked `jnp.min`, the automask
+tie-break noise comes from an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from fusiondepth_tpu.config import Config
+from fusiondepth_tpu.ops.depth import disp_to_depth
+from fusiondepth_tpu.ops.geometry import backproject_depth, project_3d
+from fusiondepth_tpu.ops.losses import (
+    normalized_smoothness,
+    reprojection_loss,
+    si_loss,
+)
+from fusiondepth_tpu.ops.resize import resize_bilinear
+from fusiondepth_tpu.ops.sampling import grid_sample
+
+
+def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
+                         frame_ids) -> Dict[Any, Any]:
+    """Warp each source frame into frame 0's view at every scale.
+
+    Populates outputs[("depth", 0, s)] and outputs[("color", f, s)].
+    Reference: trainer.py:425-474.
+    """
+    fid_index = {f: i for i, f in enumerate(cfg.frame_ids)}
+    H, W = cfg.height, cfg.width
+
+    for scale in cfg.scales:
+        disp = outputs[("disp", scale)]
+        if cfg.v1_multiscale:
+            source_scale = scale
+        else:
+            disp = resize_bilinear(disp, H, W)
+            source_scale = 0
+        _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
+        outputs[("depth", 0, scale)] = depth
+
+        for f_i in frame_ids[1:]:
+            if f_i == "s":
+                T = batch["stereo_T"]
+            else:
+                T = outputs[("cam_T_cam", 0, f_i)]
+
+            if cfg.pose_model_type == "posecnn" and f_i != "s":
+                from fusiondepth_tpu.ops.pose import (
+                    transformation_from_parameters,
+                )
+                aa = outputs[("axisangle", 0, f_i)]
+                t = outputs[("translation", 0, f_i)]
+                inv_depth = 1.0 / depth
+                mean_inv_depth = inv_depth.mean(axis=(1, 2, 3), keepdims=False)
+                T = transformation_from_parameters(
+                    aa[:, 0, 0], t[:, 0, 0] * mean_inv_depth[:, None],
+                    invert=(f_i < 0))
+
+            cam_points = backproject_depth(depth, batch["inv_K"])
+            pix_coords = grid_sample_coords = project_3d(
+                cam_points, batch["K"], T)
+            outputs[("sample", f_i, scale)] = pix_coords
+            outputs[("color", f_i, scale)] = grid_sample(
+                batch["color"][:, fid_index[f_i]], grid_sample_coords)
+
+    return outputs
+
+
+def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
+                   rng) -> Dict[str, jnp.ndarray]:
+    """Multi-scale photometric + automask + smoothness + SI loss.
+
+    Reference: trainer.py:490-596. `batch["color_pyramid"]` holds frame-0
+    color at each scale for the smoothness guidance (list indexed by scale).
+    """
+    losses: Dict[str, jnp.ndarray] = {}
+    total_loss = 0.0
+    fid_index = {f: i for i, f in enumerate(cfg.frame_ids)}
+    H, W = cfg.height, cfg.width
+
+    source_frames = [f for f in cfg.frame_ids[1:]]
+
+    for scale in cfg.scales:
+        loss = 0.0
+        source_scale = scale if cfg.v1_multiscale else 0
+
+        disp = outputs[("disp", scale)]
+        color = batch["color_pyramid"][scale]  # (B, Hs, Ws, 3) frame 0
+        target = batch["color"][:, 0]  # full-res frame 0
+
+        reproj = jnp.concatenate(
+            [reprojection_loss(outputs[("color", f, scale)], target,
+                               use_ssim=not cfg.no_ssim)
+             for f in source_frames],
+            axis=-1,
+        )  # (B, H, W, n_src)
+
+        if not cfg.disable_automasking:
+            identity = jnp.concatenate(
+                [reprojection_loss(batch["color"][:, fid_index[f]], target,
+                                   use_ssim=not cfg.no_ssim)
+                 for f in source_frames],
+                axis=-1,
+            )
+            if cfg.avg_reprojection:
+                identity = identity.mean(axis=-1, keepdims=True)
+            # random tie-break noise (reference trainer.py:549-551)
+            rng, sub = jax.random.split(rng)
+            identity = identity + jax.random.normal(
+                sub, identity.shape) * 1e-5
+
+        if cfg.avg_reprojection:
+            reproj = reproj.mean(axis=-1, keepdims=True)
+
+        if not cfg.disable_automasking:
+            combined = jnp.concatenate([identity, reproj], axis=-1)
+        else:
+            combined = reproj
+
+        if combined.shape[-1] == 1:
+            to_optimise = combined[..., 0]
+        else:
+            to_optimise = combined.min(axis=-1)
+            idxs = combined.argmin(axis=-1)
+            if not cfg.disable_automasking:
+                outputs[f"identity_selection/{scale}"] = (
+                    idxs >= identity.shape[-1]).astype(jnp.float32)
+
+        loss = loss + to_optimise.mean()
+
+        smooth = normalized_smoothness(disp, color)
+        loss = loss + cfg.disparity_smoothness * smooth / (2.0**scale)
+
+        total_loss = total_loss + loss
+        losses[f"loss/{scale}"] = loss
+
+        if cfg.trainer_siloss and (cfg.trainer_siloss_all_scale or scale == 0):
+            disp_full = resize_bilinear(disp, H, W)
+            _, depth = disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
+            beam_depth = batch["four_beam"] * 100.0
+            # hard-coded metric scale (reference trainer.py:583)
+            depth = depth * 26.0
+            si = si_loss(depth, beam_depth,
+                         threshold=cfg.gdc_loss_threshold,
+                         si_var=cfg.si_var)
+            total_loss = total_loss + si
+            losses[f"loss/si_loss{scale}"] = si
+
+    total_loss = total_loss / cfg.num_scales
+    losses["loss"] = total_loss
+    return losses
+
+
+def build_color_pyramid(cfg: Config, color0):
+    """Frame-0 color at each scale for smoothness guidance.
+
+    The reference builds this on the host with PIL ANTIALIAS resizing
+    (datasets/mono_dataset.py:85-104); here it is an in-step antialiased
+    resize so the pyramid fuses into the training computation.
+    """
+    pyramid = {}
+    for scale in cfg.scales:
+        h = cfg.height // 2**scale
+        w = cfg.width // 2**scale
+        if scale == 0:
+            pyramid[scale] = color0
+        else:
+            pyramid[scale] = jax.image.resize(
+                color0, (color0.shape[0], h, w, color0.shape[-1]),
+                method="bilinear", antialias=True)
+    return pyramid

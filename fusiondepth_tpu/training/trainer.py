@@ -1,0 +1,197 @@
+"""Stage-1 self-supervised trainer driver.
+
+Orchestrates the jitted train step over the host input pipeline, with the
+reference's schedule semantics (trainer.py:24-266):
+  num_epochs   = (8 * 17) // batch_size
+  lr           = learning_rate * batch_size / 8
+  StepLR step  = scheduler_step_size * 8 / batch_size (gamma 0.1)
+and the reference's val protocol: periodic full-eval on the eigen test
+split, best-AbsRel checkpointing (trainer.py:390-423).
+
+TPU-first: the whole optimization step (forward + warp + losses + grads +
+Adam) is one XLA computation; gradient accumulation is lax.scan
+microbatching (config.grad_accum_steps); multi-chip data parallelism comes
+from sharding the batch over the mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusiondepth_tpu.config import Config
+from fusiondepth_tpu.models.fusion import FusionNets
+from fusiondepth_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+from fusiondepth_tpu.training import checkpoint as ckpt
+from fusiondepth_tpu.training.evaluation import evaluate_disparities
+from fusiondepth_tpu.training.train_state import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from fusiondepth_tpu.utils.logging import MetricLogger, sec_to_hm_str
+
+_BATCH_KEYS = ("color", "color_aug", "two_channel", "four_beam", "K",
+               "inv_K", "stereo_T", "inf_gdc")
+
+
+def device_batch(batch: Dict[str, object]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(batch[k]) for k in _BATCH_KEYS if k in batch}
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_dataset=None, val_dataset=None,
+                 use_mesh: bool = False):
+        cfg = cfg.replace(num_epochs=max((8 * 17) // cfg.batch_size, 1))
+        self.cfg = cfg
+        assert cfg.height % 32 == 0 and cfg.width % 32 == 0, \
+            "height/width must be multiples of 32"
+
+        self.nets = FusionNets(cfg)
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+
+        if train_dataset is None and cfg.dataset in ("kitti", "kitti_odom"):
+            self._build_kitti_datasets()
+
+        steps_per_epoch = (
+            max(len(self.train_dataset) // cfg.batch_size, 1)
+            if self.train_dataset is not None else 1000)
+        self.tx = make_optimizer(cfg, steps_per_epoch)
+        self.state = create_train_state(
+            cfg, self.nets, jax.random.PRNGKey(cfg.seed), self.tx)
+
+        self.mesh = make_mesh() if use_mesh else None
+        if self.mesh is not None:
+            self.state = jax.device_put(
+                self.state, replicated_sharding(self.mesh))
+
+        self.train_step = jax.jit(
+            make_train_step(cfg, self.nets, self.tx), donate_argnums=0)
+        self._infer = jax.jit(
+            lambda variables, batch: self.nets.forward_depth(
+                variables, batch, train=False)[0][("disp", 0)])
+
+        self.log_path = os.path.join(cfg.log_dir, cfg.model_name)
+        self.loggers = {
+            mode: MetricLogger(self.log_path, mode)
+            for mode in ("train", "val")}
+        ckpt.save_options(cfg)
+
+        if cfg.train_load_weights_folder:
+            self.state, _ = ckpt.load_checkpoint(
+                cfg.train_load_weights_folder, self.state)
+
+        self.best_absrel = float("inf")
+        self.rng = jax.random.PRNGKey(cfg.seed + 1)
+        self.step = int(self.state.step)
+        self.epoch = 0
+        self._t_start = time.time()
+
+    # ---- data ----
+
+    def _build_kitti_datasets(self):
+        from fusiondepth_tpu.data.kitti_dataset import (
+            KITTIOdomDataset,
+            KITTIRAWDataset,
+        )
+        from fusiondepth_tpu.data.kitti_io import readlines
+
+        cfg = self.cfg
+        cls = (KITTIOdomDataset if cfg.dataset == "kitti_odom"
+               else KITTIRAWDataset)
+        split_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                                 "splits")
+        train_files = readlines(
+            os.path.join(split_dir, cfg.split, "train_files.txt"))
+        test_files = readlines(
+            os.path.join(split_dir, "eigen", "test_files.txt"))
+        ext = ".png" if cfg.png else ".jpg"
+        self.train_dataset = cls(cfg.data_path, train_files, cfg.height,
+                                 cfg.width, cfg.frame_ids, is_train=True,
+                                 img_ext=ext, cfg=cfg)
+        # reference quirk kept on purpose: the val loader IS the eigen test
+        # split (trainer.py:161-171)
+        self.val_dataset = cls(cfg.data_path, test_files, cfg.height,
+                               cfg.width, [0], is_train=False, img_ext=ext,
+                               cfg=cfg)
+
+    def _loader(self, dataset, shuffle: bool):
+        from fusiondepth_tpu.data.loader import DataLoader
+
+        return DataLoader(dataset, self.cfg.batch_size, shuffle=shuffle,
+                          drop_last=shuffle, num_workers=self.cfg.num_workers)
+
+    # ---- training ----
+
+    def variables(self):
+        from fusiondepth_tpu.training.train_state import combine_variables
+
+        return combine_variables(self.state.params, self.state.batch_stats)
+
+    def run_step(self, batch) -> Dict[str, float]:
+        db = device_batch(batch)
+        if self.mesh is not None:
+            db = shard_batch(db, self.mesh)
+        self.rng, key = jax.random.split(self.rng)
+        self.state, losses = self.train_step(self.state, db, key)
+        self.step += 1
+        return losses
+
+    def run_epoch(self) -> None:
+        cfg = self.cfg
+        loader = self._loader(self.train_dataset, shuffle=True)
+        t_last, n_last = time.time(), 0
+        for batch in loader:
+            losses = self.run_step(batch)
+            n_last += cfg.batch_size
+            if self.step % cfg.log_frequency == 0:
+                loss = float(losses["loss"])  # device sync point
+                dt = time.time() - t_last
+                eps = n_last / max(dt, 1e-9)
+                print(f"epoch {self.epoch:3d} | step {self.step:6d} | "
+                      f"loss {loss:.4f} | {eps:7.1f} ex/s | "
+                      f"elapsed {sec_to_hm_str(time.time() - self._t_start)}",
+                      flush=True)
+                self.loggers["train"].log_scalars(
+                    self.step, {"loss": loss, "examples_per_sec": eps})
+                t_last, n_last = time.time(), 0
+
+    def train(self) -> None:
+        for self.epoch in range(self.cfg.num_epochs):
+            self.run_epoch()
+            metrics = self.validate()
+            if metrics and self.cfg.save_frequency > 0:
+                ckpt.save_checkpoint(self.cfg, self.state, f"{self.epoch}")
+
+    # ---- validation (eigen protocol) ----
+
+    def validate(self) -> Optional[Dict[str, float]]:
+        if self.val_dataset is None:
+            return None
+        variables = self.variables()
+        loader = self._loader(self.val_dataset, shuffle=False)
+        disps, gts = [], []
+        for batch in loader:
+            db = device_batch(batch)
+            disp = self._infer(variables, db)
+            disps.extend(np.asarray(disp)[..., 0])
+            gts.extend(batch.get("depth_gt", []))
+        if not gts:
+            return None
+        metrics = evaluate_disparities(disps, gts)
+        self.loggers["val"].log_scalars(self.step, metrics)
+        print("val | " + " | ".join(
+            f"{k} {v:.4f}" for k, v in metrics.items()), flush=True)
+        if metrics["abs_rel"] < self.best_absrel:
+            self.best_absrel = metrics["abs_rel"]
+            ckpt.save_checkpoint(self.cfg, self.state, "best")
+            ckpt.save_checkpoint(
+                self.cfg, self.state,
+                f"absrel{int(metrics['abs_rel'] * 1e5)}")
+        return metrics

@@ -1,0 +1,52 @@
+"""Experiment logging: stdout progress lines + JSONL scalars (+ TensorBoard
+when TensorFlow is available).
+
+Replaces the reference's tensorboardX + wandb pair (trainer.py:176-178,
+644-681) with dependency-light equivalents: scalars always land in
+log/<model>/<mode>/metrics.jsonl; tf.summary mirrors them when importable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+def sec_to_hm_str(t: float) -> str:
+    t = int(t)
+    s, t = t % 60, t // 60
+    m, h = t % 60, t // 60
+    return f"{h:02d}h{m:02d}m{s:02d}s"
+
+
+class MetricLogger:
+    def __init__(self, log_dir: str, mode: str, use_tb: bool = True):
+        self.dir = os.path.join(log_dir, mode)
+        os.makedirs(self.dir, exist_ok=True)
+        self.path = os.path.join(self.dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self._tb = None
+        if use_tb:
+            try:
+                import tensorflow as tf  # noqa: F401
+
+                self._tb = tf.summary.create_file_writer(self.dir)
+            except Exception:
+                self._tb = None
+
+    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(k, float(v), step=int(step))
+
+    def close(self) -> None:
+        self._f.close()
