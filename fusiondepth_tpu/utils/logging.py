@@ -14,6 +14,17 @@ import time
 from typing import Dict, Optional
 
 
+def normalize_image(x):
+    """Rescale an array to span [0, 1] for visualization (reference
+    utils.py:16-22)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    ma, mi = float(x.max()), float(x.min())
+    d = ma - mi if ma != mi else 1e5
+    return (x - mi) / d
+
+
 def sec_to_hm_str(t: float) -> str:
     t = int(t)
     s, t = t % 60, t // 60
