@@ -103,7 +103,7 @@ class Config:
     refine_shallow: bool = False
     refineUnet: bool = False
     refine_deep: bool = False
-    refine_2d: bool = True
+    refine_2d: bool = False  # forced True by the refiner (refiner.py:30)
     refine_iter: int = 1
     refine_iter_gama: float = 0.8
     refine_offset: bool = False
@@ -140,6 +140,11 @@ class Config:
     # DEBUG / VIS
     debug: bool = False
     visualize: bool = False
+    vis_name: str = ""
+    save_sample: bool = False
+    per_semantic: bool = False
+    demo: bool = False
+    semantic_mask_path: str = "../semantic-segmentation/kitti/results"
 
     # TPU-NATIVE KNOBS (new; no reference equivalent)
     compute_dtype: str = "float32"  # "bfloat16" for MXU speed

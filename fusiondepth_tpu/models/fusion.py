@@ -65,6 +65,15 @@ class FusionNets:
         self.depth = DepthDecoder(scales=tuple(cfg.scales),
                                   cat2end=cfg.cat2end, dtype=dt)
 
+        self.predictive_mask = None
+        if cfg.predictive_mask:
+            assert cfg.disable_automasking, (
+                "predictive_mask requires disable_automasking "
+                "(reference trainer.py:118-120)")
+            self.predictive_mask = DepthDecoder(
+                scales=tuple(cfg.scales),
+                num_output_channels=len(cfg.frame_ids) - 1, dtype=dt)
+
         self.pose_encoder = None
         self.pose = None
         if cfg.use_pose_net:
@@ -106,6 +115,10 @@ class FusionNets:
         two_ch = jnp.zeros((batch_size, H, W, 2)) if cfg.cat2end else None
         variables["depth"] = self.depth.init(
             keys[3], dummy_feats, two_channel=two_ch)
+
+        if self.predictive_mask is not None:
+            variables["predictive_mask"] = self.predictive_mask.init(
+                keys[6], dummy_feats)
 
         if self.pose is not None:
             if self.pose_encoder is not None:
@@ -181,7 +194,28 @@ class FusionNets:
         outputs = self.depth.apply(
             variables["depth"], feats, two_channel=two_ch,
             beam_features=beam_feats)
+        if self.predictive_mask is not None:
+            mask_out = self.predictive_mask.apply(
+                variables["predictive_mask"], feats)
+            outputs["predictive_mask"] = mask_out
         return outputs, feats, updates
+
+    def forward_shared_features(self, variables, batch, train: bool):
+        """Shared-encoder mode (pose_model_type='shared'): every frame runs
+        through the depth encoder in one batched pass (reference
+        trainer.py:276-287). Returns ({frame_id: pyramid}, updates)."""
+        cfg = self.cfg
+        B = batch["color_aug"].shape[0]
+        F = len(cfg.frame_ids)
+        stacked = batch["color_aug"].reshape((B * F,) + batch[
+            "color_aug"].shape[2:])
+        feats, upd = self._apply(self.encoder, variables["encoder"], stacked,
+                                 train=train)
+        per_frame = {
+            f: [lvl.reshape((B, F) + lvl.shape[1:])[:, i] for lvl in feats]
+            for i, f in enumerate(cfg.frame_ids)
+        }
+        return per_frame, ({"encoder": upd} if upd else {})
 
     def predict_poses(self, variables, batch, features, train: bool):
         """Per-source-frame relative poses (reference trainer.py:321-388)."""
@@ -223,11 +257,9 @@ class FusionNets:
                 elif cfg.pose_model_type == "posecnn":
                     aa, t = self.pose.apply(
                         variables["pose"], jnp.concatenate(colors, axis=-1))
-                else:  # shared
-                    pose_in = [features] * 2  # placeholder; shared path uses
-                    # per-frame encoder features — handled by caller if used.
-                    raise NotImplementedError(
-                        "pose_model_type='shared' forward is not wired yet")
+                else:  # shared: features is {frame_id: pyramid}
+                    pose_in = [features[f][-1] for f in pair]
+                    aa, t = self.pose.apply(variables["pose"], pose_in)
 
                 outputs[("axisangle", 0, f_i)] = aa
                 outputs[("translation", 0, f_i)] = t
@@ -244,6 +276,10 @@ class FusionNets:
                 if upd:
                     updates["pose_encoder"] = upd
                 aa, t = self.pose.apply(variables["pose"], [pe_feats[-1]])
+            elif cfg.pose_model_type == "shared":
+                aa, t = self.pose.apply(
+                    variables["pose"],
+                    [features[f][-1] for f in cfg.frame_ids if f != "s"])
             else:
                 aa, t = self.pose.apply(variables["pose"], colors)
             for i, f_i in enumerate(cfg.frame_ids[1:]):
@@ -256,8 +292,34 @@ class FusionNets:
         return outputs, updates
 
     def forward(self, variables, batch, train: bool, with_pose: bool = True):
+        cfg = self.cfg
+        if cfg.pose_model_type == "shared" and cfg.use_pose_net:
+            per_frame, updates = self.forward_shared_features(
+                variables, batch, train)
+            feats = per_frame[0]
+            beam_feats = None
+            if cfg.beam_encoder:
+                beam_feats, upd = self._apply(
+                    self.beam_encoder, variables["beam_encoder"],
+                    batch["two_channel"][:, 0], train=train)
+                if upd:
+                    updates["beam_encoder"] = upd
+            two_ch = batch["two_channel"][:, 0] if cfg.cat2end else None
+            outputs = self.depth.apply(
+                variables["depth"], feats, two_channel=two_ch,
+                beam_features=beam_feats)
+            if self.predictive_mask is not None:
+                outputs["predictive_mask"] = self.predictive_mask.apply(
+                    variables["predictive_mask"], feats)
+            if with_pose:
+                pose_out, pose_upd = self.predict_poses(
+                    variables, batch, per_frame, train)
+                outputs.update(pose_out)
+                updates.update(pose_upd)
+            return outputs, updates
+
         outputs, feats, updates = self.forward_depth(variables, batch, train)
-        if with_pose and self.cfg.use_pose_net:
+        if with_pose and cfg.use_pose_net:
             pose_out, pose_upd = self.predict_poses(
                 variables, batch, feats, train)
             outputs.update(pose_out)

@@ -38,11 +38,10 @@ class PoseDecoder(nn.Module):
         else:
             feats = list(last_features)
 
-        squeezed = [
-            nn.relu(nn.Conv(256, (1, 1), dtype=self.dtype, name="squeeze")(
-                f.astype(self.dtype)))
-            for f in feats
-        ]
+        # one shared squeeze conv applied to every input feature
+        # (reference pose_decoder.py:20,35)
+        squeeze = nn.Conv(256, (1, 1), dtype=self.dtype, name="squeeze")
+        squeezed = [nn.relu(squeeze(f.astype(self.dtype))) for f in feats]
         out = jnp.concatenate(squeezed, axis=-1)
 
         out = nn.Conv(256, (3, 3), (self.stride, self.stride), padding=1,

@@ -71,6 +71,66 @@ def predict_disparities(cfg: Config, dataset, variables=None,
     return disps, gts
 
 
+def save_visualizations(cfg: Config, disps, out_dir: str) -> None:
+    """Colormapped disparity dumps (reference evaluate_depth.py:407-449's
+    magma rendering, minus the wandb/open3d hooks)."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, disp in enumerate(disps):
+        d = np.asarray(disp, np.float32)
+        vmax = np.percentile(d, 95)
+        norm = np.clip(d / max(vmax, 1e-9), 0, 1)
+        img = cv2.applyColorMap((norm * 255).astype(np.uint8),
+                                cv2.COLORMAP_MAGMA)
+        cv2.imwrite(os.path.join(out_dir, f"{i}{cfg.vis_name}depth.png"),
+                    img, [cv2.IMWRITE_PNG_COMPRESSION, 0])
+
+
+def evaluate_per_semantic(cfg: Config, disps, gts) -> Optional[np.ndarray]:
+    """Per-semantic-class metric breakdown (reference
+    evaluate_depth.py:451-467): requires externally produced segmentation
+    masks pred_mask{i}.png under cfg.semantic_mask_path."""
+    from PIL import Image
+
+    from fusiondepth_tpu.training.evaluation import (
+        compute_errors_np,
+        evaluate_one,
+        garg_crop_mask,
+    )
+    import cv2
+
+    if not os.path.isdir(cfg.semantic_mask_path):
+        print(f"per_semantic: mask dir {cfg.semantic_mask_path!r} missing")
+        return None
+    n_classes = 34
+    rows = np.zeros((n_classes, len(disps), 7))
+    counts = np.zeros((n_classes, len(disps)))
+    for i, (disp, gt) in enumerate(zip(disps, gts)):
+        gh, gw = gt.shape
+        pred = 1.0 / np.maximum(
+            cv2.resize(np.asarray(disp, np.float32), (gw, gh)), 1e-12)
+        mask = (gt > 1e-3) & (gt < 80) & garg_crop_mask(gh, gw)
+        if mask.sum():
+            ratio = np.median(gt[mask]) / np.median(pred[mask])
+            pred = pred * ratio
+        sem = np.asarray(Image.open(os.path.join(
+            cfg.semantic_mask_path, f"pred_mask{i}.png")))
+        for sid in range(n_classes):
+            m = mask & (sem == sid)
+            counts[sid, i] = m.sum()
+            if counts[sid, i] > 0:
+                p = np.clip(pred[m], 1e-3, 80)
+                rows[sid, i] = list(compute_errors_np(gt[m], p).values())
+    weights = counts / np.maximum(counts.sum(1, keepdims=True), 1)
+    per_class = (rows * weights[..., None]).sum(1)
+    for sid in range(n_classes):
+        if counts[sid].sum() > 0:
+            print(f"  class {sid:2d}: absrel {per_class[sid, 0]:.3f} "
+                  f"({int(counts[sid].sum())} px)")
+    return per_class
+
+
 def evaluate(cfg: Config, dataset=None):
     if dataset is None:
         from fusiondepth_tpu.data.kitti_dataset import KITTIRAWDataset
@@ -84,7 +144,28 @@ def evaluate(cfg: Config, dataset=None):
             cfg.data_path, files, cfg.height, cfg.width, [0],
             is_train=False, img_ext=".png" if cfg.png else ".jpg", cfg=cfg)
 
-    disps, gts = predict_disparities(cfg, dataset)
+    if cfg.ext_disp_to_eval:
+        # evaluate externally produced disparities
+        # (reference evaluate_depth.py:246-262)
+        disps = list(np.load(cfg.ext_disp_to_eval, allow_pickle=True))
+        gts = [dataset[i]["depth_gt"] for i in range(len(dataset))]
+    else:
+        disps, gts = predict_disparities(cfg, dataset)
+
+    if cfg.save_pred_disps:
+        out = os.path.join(cfg.log_dir,
+                           f"disps_{cfg.eval_split}_split.npy")
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        np.save(out, np.array([np.asarray(d) for d in disps],
+                              dtype=object), allow_pickle=True)
+        print(f"saved predicted disparities -> {out}")
+
+    if cfg.visualize:
+        save_visualizations(cfg, disps,
+                            os.path.join(cfg.log_dir, "visualization"))
+
+    if cfg.per_semantic:
+        evaluate_per_semantic(cfg, disps, gts)
 
     if cfg.eval_gdc:
         from fusiondepth_tpu.gdc.gdc import GDCCalib, gdc_correct

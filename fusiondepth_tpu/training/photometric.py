@@ -39,10 +39,15 @@ def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
     for scale in cfg.scales:
         disp = outputs[("disp", scale)]
         if cfg.v1_multiscale:
+            # warp at this scale: scaled intrinsics + per-scale source color
             source_scale = scale
+            hs, ws = disp.shape[1], disp.shape[2]
+            K = batch["K"].at[:, 0, :].mul(ws / W).at[:, 1, :].mul(hs / H)
+            inv_K = jnp.linalg.inv(K)
         else:
             disp = resize_bilinear(disp, H, W)
             source_scale = 0
+            K, inv_K = batch["K"], batch["inv_K"]
         _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
         outputs[("depth", 0, scale)] = depth
 
@@ -64,14 +69,28 @@ def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
                     aa[:, 0, 0], t[:, 0, 0] * mean_inv_depth[:, None],
                     invert=(f_i < 0))
 
-            cam_points = backproject_depth(depth, batch["inv_K"])
-            pix_coords = grid_sample_coords = project_3d(
-                cam_points, batch["K"], T)
+            cam_points = backproject_depth(depth, inv_K)
+            pix_coords = project_3d(cam_points, K, T)
             outputs[("sample", f_i, scale)] = pix_coords
-            outputs[("color", f_i, scale)] = grid_sample(
-                batch["color"][:, fid_index[f_i]], grid_sample_coords)
+            if cfg.v1_multiscale:
+                src = _frame_at_scale(cfg, batch, fid_index[f_i],
+                                      source_scale)
+            else:
+                src = batch["color"][:, fid_index[f_i]]
+            outputs[("color", f_i, scale)] = grid_sample(src, pix_coords)
 
     return outputs
+
+
+def _frame_at_scale(cfg: Config, batch, frame_index: int, scale: int):
+    """Source frame color at pyramid level `scale` (v1_multiscale only)."""
+    if scale == 0:
+        return batch["color"][:, frame_index]
+    color = batch["color"][:, frame_index]
+    h = cfg.height // 2**scale
+    w = cfg.width // 2**scale
+    return jax.image.resize(color, (color.shape[0], h, w, color.shape[-1]),
+                            method="bilinear", antialias=True)
 
 
 def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
@@ -94,7 +113,16 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
 
         disp = outputs[("disp", scale)]
         color = batch["color_pyramid"][scale]  # (B, Hs, Ws, 3) frame 0
-        target = batch["color"][:, 0]  # full-res frame 0
+        if cfg.v1_multiscale:
+            target = _frame_at_scale(cfg, batch, 0, source_scale)
+        else:
+            target = batch["color"][:, 0]  # full-res frame 0
+
+        def _src(f):
+            if cfg.v1_multiscale:
+                return _frame_at_scale(cfg, batch, fid_index[f],
+                                       source_scale)
+            return batch["color"][:, fid_index[f]]
 
         reproj = jnp.concatenate(
             [reprojection_loss(outputs[("color", f, scale)], target,
@@ -105,7 +133,7 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
 
         if not cfg.disable_automasking:
             identity = jnp.concatenate(
-                [reprojection_loss(batch["color"][:, fid_index[f]], target,
+                [reprojection_loss(_src(f), target,
                                    use_ssim=not cfg.no_ssim)
                  for f in source_frames],
                 axis=-1,
@@ -116,6 +144,16 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
             rng, sub = jax.random.split(rng)
             identity = identity + jax.random.normal(
                 sub, identity.shape) * 1e-5
+        elif cfg.predictive_mask:
+            # Zhou-style learned mask: weight the reprojection losses and
+            # pull the mask toward 1 with a BCE term (trainer.py:531-545)
+            mask = outputs["predictive_mask"][("disp", scale)]
+            if not cfg.v1_multiscale:
+                mask = resize_bilinear(mask, H, W)
+            reproj = reproj * mask
+            eps = 1e-7
+            bce = -jnp.log(jnp.clip(mask, eps, 1.0)).mean()
+            loss = loss + 0.2 * bce
 
         if cfg.avg_reprojection:
             reproj = reproj.mean(axis=-1, keepdims=True)

@@ -48,6 +48,9 @@ class Trainer:
     def __init__(self, cfg: Config, train_dataset=None, val_dataset=None,
                  use_mesh: bool = False):
         cfg = cfg.replace(num_epochs=max((8 * 17) // cfg.batch_size, 1))
+        if cfg.use_stereo and "s" not in cfg.frame_ids:
+            # stereo adds the opposite-side frame (reference trainer.py:63-64)
+            cfg = cfg.replace(frame_ids=tuple(cfg.frame_ids) + ("s",))
         self.cfg = cfg
         assert cfg.height % 32 == 0 and cfg.width % 32 == 0, \
             "height/width must be multiples of 32"
