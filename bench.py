@@ -68,6 +68,26 @@ if __name__ == "__main__":
     dt = time.perf_counter() - t0
 
     samples_per_sec = BATCH * ITERS / dt
+
+    # secondary metric (stderr; the driver reads the single stdout line):
+    # single-image inference FPS at 640x192
+    import sys
+
+    from fusiondepth_tpu.training.train_state import combine_variables
+
+    variables = combine_variables(state.params, state.batch_stats)
+    b1 = jax.tree.map(lambda x: x[:1], batch)
+    infer = jax.jit(lambda v, b: nets.forward_depth(
+        v, b, train=False)[0][("disp", 0)])
+    out = infer(variables, b1)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = infer(variables, b1)
+    jax.block_until_ready(out)
+    fps = 50 / (time.perf_counter() - t0)
+    print(f"inference_fps_640x192_b1: {fps:.1f}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "train_samples_per_sec_r18_640x192_b12",
         "value": round(samples_per_sec, 2),

@@ -150,6 +150,7 @@ class Config:
     compute_dtype: str = "float32"  # "bfloat16" for MXU speed
     mesh_shape: Tuple[int, ...] = ()  # () = all devices on one data axis
     grad_accum_steps: int = 1  # lax.scan microbatching
+    remat: bool = False  # jax.checkpoint the forward (memory for 352x1216)
     jit_backend: Optional[str] = None
     log_examples_sec: bool = True
 

@@ -69,6 +69,17 @@ def project_points_to_depth(velo: np.ndarray, P_velo2im: np.ndarray,
     depth wins on collisions, negative depths zeroed.
     """
     H, W = im_shape
+
+    # native C++ fast path (fusiondepth_tpu/native); numpy fallback below
+    try:
+        from fusiondepth_tpu.native import project_points_native
+
+        out = project_points_native(velo, P_velo2im, im_shape, vel_depth)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+
     velo = velo[velo[:, 0] >= 0]
 
     pts = velo @ P_velo2im.T  # (N, 3)

@@ -46,6 +46,18 @@ def expand_two_channel(
     (reference gen2channel.py:65-66 loops i in [76,190), j in [2,638) for
     192x640; the completion variant uses its own window).
     """
+    # native C++ fast path (fusiondepth_tpu/native); numpy fallback below
+    try:
+        from fusiondepth_tpu.native import expand_two_channel_native
+
+        out = expand_two_channel_native(
+            np.asarray(sparse_depth, np.float32), expand, row_range,
+            col_range)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+
     H, W = sparse_depth.shape
     src = np.zeros_like(sparse_depth, dtype=np.float64)
     r0, r1 = row_range

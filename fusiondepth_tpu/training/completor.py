@@ -54,11 +54,15 @@ def completion_metrics(gt_m: np.ndarray, pred_m: np.ndarray
 def make_completion_loss_fn(cfg: Config, nets: FusionNets):
     """Photometric objective + completion SI/L1 supervision vs velodyne_raw."""
 
+    fwd = lambda variables, batch: nets.forward(variables, batch, train=True)
+    if cfg.remat:
+        fwd = jax.checkpoint(fwd)
+
     def loss_fn(params, batch_stats, batch, rng):
         variables = combine_variables(params, batch_stats)
         batch = dict(batch)
         batch["color_pyramid"] = build_color_pyramid(cfg, batch["color"][:, 0])
-        outputs, updates = nets.forward(variables, batch, train=True)
+        outputs, updates = fwd(variables, batch)
         outputs = generate_images_pred(cfg, batch, outputs,
                                        list(cfg.frame_ids))
         # base photometric losses with the trainer's SI term disabled —

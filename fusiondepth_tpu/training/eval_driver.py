@@ -71,6 +71,82 @@ def predict_disparities(cfg: Config, dataset, variables=None,
     return disps, gts
 
 
+def predict_refined_disparities(cfg: Config, dataset):
+    """Stage-2 (refine2d) inference replay for evaluation (reference
+    evaluate_depth.py:197-233): frozen stage-1 forward, pseudo-3D input
+    construction, refine decoder. Stage-1 weights come from
+    cfg.refine_load_weights_folder; refine weights from
+    cfg.load_weights_folder (an orbax refine checkpoint)."""
+    from fusiondepth_tpu.data.loader import DataLoader
+    from fusiondepth_tpu.training.refiner_driver import Refiner
+    from fusiondepth_tpu.training.trainer import device_batch
+
+    refiner = Refiner(cfg)
+    if cfg.load_weights_folder and os.path.isdir(cfg.load_weights_folder):
+        try:
+            refiner.load(cfg.load_weights_folder)
+        except Exception as e:
+            print(f"WARNING: refine checkpoint load failed ({e}); "
+                  "evaluating random refine init")
+
+    loader = DataLoader(dataset, cfg.eval_batch_size, shuffle=False)
+    disps, gts = [], []
+    for batch in loader:
+        disp = refiner.infer(refiner.refine_params,
+                             refiner.frozen_variables, device_batch(batch))
+        disps.extend(np.asarray(disp)[..., 0])
+        gts.extend(batch.get("depth_gt", []))
+    return disps, gts
+
+
+def gdc_on_disparities(cfg: Config, dataset, disps):
+    """Online GDC at evaluation (reference evaluate_depth.py:387-405):
+    per frame, median-scale the predicted depth to the K-beam LiDAR inside
+    the eigen crop, run the GDC solver with per-frame calibration, convert
+    back to disparity. Falls back to the uncorrected frame if the solve
+    goes non-finite (reference's bare try/except)."""
+    import cv2
+
+    from fusiondepth_tpu.data.calibration import Calibration
+    from fusiondepth_tpu.data.kitti_io import generate_depth_map
+    from fusiondepth_tpu.gdc.gdc import GDCCalib, gdc_correct
+    from fusiondepth_tpu.training.gdc_driver import median_scale_to_beams
+
+    out = []
+    calib_cache = {}
+    for i, disp in enumerate(disps):
+        folder, idx, side = dataset.parse_line(i)
+        date = folder.split("/")[0]
+        if date not in calib_cache:
+            calib_cache[date] = Calibration.from_file(os.path.join(
+                cfg.data_path, date, "calib_cam_to_cam.txt"))
+        calib = calib_cache[date]
+
+        beam_bin = os.path.join(
+            cfg.data_path, folder, dataset.beam_folder(),
+            dataset.frame_str(idx) + ".bin")
+        side_cam = {"l": 2, "r": 3}[side]
+        beams = generate_depth_map(os.path.join(cfg.data_path, date),
+                                   beam_bin, side_cam, vel_depth=True)
+        gh, gw = beams.shape
+        d = np.asarray(disp, np.float32)
+        depth = 1.0 / np.maximum(cv2.resize(d, (gw, gh)), 1e-12)
+        depth = median_scale_to_beams(depth, beams)
+        gtd = beams.copy()
+        gtd[gtd == 0] = -1
+        corrected = np.asarray(gdc_correct(
+            depth.astype(np.float32), gtd.astype(np.float32),
+            GDCCalib.from_calibration(calib),
+            k=10, W_tol=3e-5, recon_tol=5e-4))
+        if not np.isfinite(corrected).all():
+            print(f"GDC failed at frame {i}; keeping uncorrected")
+            out.append(disp)
+        else:
+            out.append(cv2.resize(1.0 / np.maximum(corrected, 1e-6),
+                                  (d.shape[1], d.shape[0])))
+    return out
+
+
 def save_visualizations(cfg: Config, disps, out_dir: str) -> None:
     """Colormapped disparity dumps (reference evaluate_depth.py:407-449's
     magma rendering, minus the wandb/open3d hooks)."""
@@ -149,6 +225,8 @@ def evaluate(cfg: Config, dataset=None):
         # (reference evaluate_depth.py:246-262)
         disps = list(np.load(cfg.ext_disp_to_eval, allow_pickle=True))
         gts = [dataset[i]["depth_gt"] for i in range(len(dataset))]
+    elif cfg.refine_2d:
+        disps, gts = predict_refined_disparities(cfg, dataset)
     else:
         disps, gts = predict_disparities(cfg, dataset)
 
@@ -168,10 +246,7 @@ def evaluate(cfg: Config, dataset=None):
         evaluate_per_semantic(cfg, disps, gts)
 
     if cfg.eval_gdc:
-        from fusiondepth_tpu.gdc.gdc import GDCCalib, gdc_correct
-        # online GDC needs per-frame calibration; the KITTI eigen frames all
-        # share the nominal intrinsics at eval resolution
-        print("WARNING: online GDC at eval uses nominal intrinsics")
+        disps = gdc_on_disparities(cfg, dataset, disps)
 
     metrics = evaluate_disparities(
         disps, gts,

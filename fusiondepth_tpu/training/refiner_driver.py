@@ -149,4 +149,33 @@ class Refiner:
         self.loggers["val"].log_scalars(self.step, metrics)
         print("refine val | " + " | ".join(
             f"{k} {v:.4f}" for k, v in metrics.items()), flush=True)
+        if metrics["abs_rel"] < self.best_absrel:
+            self.best_absrel = metrics["abs_rel"]
+            self.save("best_refine")
         return metrics
+
+    # ---- checkpointing (refine decoder only; stage-1 weights live in
+    # their own stage-1 checkpoint) ----
+
+    def save(self, tag: str) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(
+            self.cfg.log_dir, self.cfg.model_name + "_refine", "models",
+            f"weights_{tag}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"refine_params": self.refine_params,
+                          "opt_state": self.opt_state}, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def load(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"refine_params": self.refine_params,
+             "opt_state": self.opt_state})
+        self.refine_params = restored["refine_params"]
+        self.opt_state = restored["opt_state"]

@@ -68,11 +68,16 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
 
 
 def make_loss_fn(cfg: Config, nets: FusionNets) -> Callable:
+    fwd = lambda variables, batch: nets.forward(variables, batch, train=True)
+    if cfg.remat:
+        # trade recompute for activation memory (useful at 352x1216)
+        fwd = jax.checkpoint(fwd)
+
     def loss_fn(params, batch_stats, batch, rng):
         variables = combine_variables(params, batch_stats)
         batch = dict(batch)
         batch["color_pyramid"] = build_color_pyramid(cfg, batch["color"][:, 0])
-        outputs, updates = nets.forward(variables, batch, train=True)
+        outputs, updates = fwd(variables, batch)
         outputs = generate_images_pred(cfg, batch, outputs, list(cfg.frame_ids))
         losses = compute_losses(cfg, batch, outputs, rng)
         new_stats = {
