@@ -108,7 +108,7 @@ class Config:
     refine_iter_gama: float = 0.8
     refine_offset: bool = False
     refine_depthnet_with_beam: bool = False
-    clone_gdc: bool = True
+    clone_gdc: bool = False  # forced True by the refiner (refiner.py:29)
     clone_path: Optional[str] = None
     need_inf_gdc: bool = False
     catxy: bool = True

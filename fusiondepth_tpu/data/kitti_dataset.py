@@ -88,12 +88,14 @@ class KITTIDataset(MonoDataset):
         return depth
 
     def get_4beam(self, folder, frame_index, side, do_flip):
-        """Project the K-beam bin at (384, 1280) then 2x2 max-pool to the
-        network resolution (reference kitti_dataset.py:93-117)."""
+        """Project the K-beam bin at 2x the network resolution then 2x2
+        max-pool down (reference kitti_dataset.py:93-117 — exactly
+        (384, 1280) -> (192, 640) at the default size)."""
         velo = os.path.join(self.data_path, folder, self.beam_folder(),
                             self.frame_str(frame_index) + ".bin")
         depth = generate_depth_map(self.calib_dir(folder, frame_index), velo,
-                                   SIDE_MAP[side], shape=(384, 1280))
+                                   SIDE_MAP[side],
+                                   shape=(2 * self.height, 2 * self.width))
         depth = max_pool2(depth)
         if do_flip:
             depth = np.fliplr(depth)

@@ -103,7 +103,17 @@ def project_points_to_depth(velo: np.ndarray, P_velo2im: np.ndarray,
 
 def pad_or_crop(depth: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
     """Pad (top / x-centered) or crop to `shape`, reference
-    kitti_utils.py:92-101 semantics."""
+    kitti_utils.py:92-101 semantics. Targets narrower/shorter than the
+    source (never produced by the reference's fixed shapes) are handled by
+    exact center/top cropping so small test resolutions work."""
+    if shape[1] < depth.shape[1]:
+        # narrower target (never produced by the reference's fixed shapes):
+        # exact center-crop width + top-crop height, bypass the quirky path
+        x0 = (depth.shape[1] - shape[1]) // 2
+        depth = depth[:, x0: x0 + shape[1]]
+        if shape[0] < depth.shape[0]:
+            depth = depth[depth.shape[0] - shape[0]:, :]
+        return depth
     crop = shape[0] < depth.shape[0]
     ypad = abs(shape[0] - depth.shape[0])
     xpad = shape[1] - depth.shape[1]

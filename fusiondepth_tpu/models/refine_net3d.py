@@ -14,10 +14,12 @@ Design (no sparse-tensor engine needed):
   the image grid through the per-pixel voxel index.
 
 Implemented variants: RefineNet3DShallow (3 sparse convs, mirrors
-RefineNet_shallow, refine_net.py:115-173) and RefineNet3DDeep (6 convs,
-mirrors RefineNet_deep, :176-270). The 5-down/5-up sparse U-Net variant
-(refine_net.py:13-112) reuses the same conv primitive with strided voxel
-pooling and is left for a later round.
+RefineNet_shallow, refine_net.py:115-173), RefineNet3DDeep (6 convs,
+mirrors RefineNet_deep, :176-270), and RefineNet3DUNet (the 5-down/5-up
+sparse U-Net of refine_net.py:13-112): each down level pools children into
+parent voxels (coords // 2, fixed-capacity unique list) and convolves at
+the coarser scale; each up level gathers the parent features back to the
+children, concatenates the skip, and convolves.
 """
 
 from __future__ import annotations
@@ -185,6 +187,128 @@ class RefineNet3DDeep(_SparseRefineStack):
     """6 sparse convs (reference RefineNet_deep, refine_net.py:176-270)."""
 
     widths: Sequence[int] = (16, 32, 64, 64, 32, 16)
+
+
+# ---------------------------------------------------------------------------
+# Sparse voxel U-Net (the reference's primary RefineNet, refine_net.py:13-112)
+# ---------------------------------------------------------------------------
+
+
+def voxel_downsample(coords, keys, valid, feats, capacity: int):
+    """Pool child voxels into parents at coords // 2 (mean features).
+
+    The reference uses strided MinkowskiConvolutions; pool-then-convolve at
+    the coarser level is the standard dense-equivalent decomposition and
+    keeps every op a fixed-capacity gather/segment op.
+
+    Returns (pcoords, pkeys, pvalid, pfeats, child_to_parent).
+    """
+    N = coords.shape[0]
+    pc = jnp.floor_divide(coords, 2)
+    pk = jnp.where(valid, _encode(pc), _KEY_INVALID)
+
+    order = jnp.argsort(pk)
+    sk = pk[order]
+    is_first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    # padded children all share _KEY_INVALID -> they collapse into one
+    # parent slot that we mark invalid below
+    first_pos = jnp.nonzero(is_first, size=capacity, fill_value=N - 1)[0]
+    pvalid = (jnp.arange(capacity) < is_first.sum()) & (
+        sk[first_pos] != _KEY_INVALID)
+    pkeys = jnp.where(pvalid, sk[first_pos], _KEY_INVALID)
+    pcoords = pc[order][first_pos]
+
+    seg = jnp.minimum(jnp.cumsum(is_first) - 1, capacity - 1)
+    sums = jax.ops.segment_sum(feats[order], seg, num_segments=capacity)
+    w = valid[order].astype(jnp.float32)[:, None]
+    cnts = jax.ops.segment_sum(w, seg, num_segments=capacity)
+    pfeats = jnp.where(pvalid[:, None], sums / jnp.maximum(cnts, 1.0), 0.0)
+
+    child_to_parent = jnp.zeros(N, jnp.int32).at[order].set(
+        seg.astype(jnp.int32))
+    return pcoords, pkeys, pvalid, pfeats, child_to_parent
+
+
+def build_voxel_pyramid(coords, keys, valid, levels: int,
+                        capacity: int):
+    """Per-level tables for the U-Net: (coords, keys, valid, neighbors)
+    plus child->parent maps. Level capacities halve per level."""
+    offsets = _kernel_offsets(3)
+    tables = [{
+        "coords": coords, "keys": keys, "valid": valid,
+        "nb": neighbor_table(coords, keys, valid, offsets),
+    }]
+    c2p = []
+    feats_placeholder = jnp.zeros((coords.shape[0], 1))
+    cur = (coords, keys, valid, feats_placeholder)
+    cap = capacity
+    for _ in range(levels):
+        cap = max(cap // 2, 256)
+        pcoords, pkeys, pvalid, _, map_ = voxel_downsample(
+            cur[0], cur[1], cur[2], cur[3], cap)
+        c2p.append(map_)
+        tables.append({
+            "coords": pcoords, "keys": pkeys, "valid": pvalid,
+            "nb": neighbor_table(pcoords, pkeys, pvalid, offsets),
+        })
+        cur = (pcoords, pkeys, pvalid,
+               jnp.zeros((pcoords.shape[0], 1)))
+    return tables, c2p
+
+
+def _pool_feats(feats, valid, c2p, capacity: int):
+    """Mean-pool child features into parent slots via a child->parent map."""
+    w = valid.astype(jnp.float32)[:, None]
+    sums = jax.ops.segment_sum(feats * w, c2p, num_segments=capacity)
+    cnts = jax.ops.segment_sum(w, c2p, num_segments=capacity)
+    return sums / jnp.maximum(cnts, 1.0)
+
+
+class RefineNet3DUNet(nn.Module):
+    """Sparse voxel U-Net: `levels` down stages (pool + conv) and mirrored
+    up stages (parent gather + skip concat + conv), tanh offset head —
+    the TPU-native equivalent of reference RefineNet (refine_net.py:13-112,
+    5-down/5-up with MinkowskiConvolution[Transpose]).
+    """
+
+    widths: Sequence[int] = (16, 32, 64, 128, 256)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, tables, c2p, train: bool = False):
+        L = len(self.widths) - 1
+        assert len(tables) >= L + 1 and len(c2p) >= L
+
+        def block(x, nb, valid, width, name):
+            x = SparseConv3D(width, dtype=self.dtype,
+                             name=f"{name}_conv")(x, nb, valid)
+            x = VoxelBatchNorm(dtype=self.dtype, name=f"{name}_bn")(
+                x, valid, train)
+            return nn.relu(x)
+
+        # encoder
+        h = block(feats, tables[0]["nb"], tables[0]["valid"],
+                  self.widths[0], "enc0")
+        skips = [h]
+        for lvl in range(1, L + 1):
+            cap = tables[lvl]["coords"].shape[0]
+            h = _pool_feats(h, tables[lvl - 1]["valid"], c2p[lvl - 1], cap)
+            h = block(h, tables[lvl]["nb"], tables[lvl]["valid"],
+                      self.widths[lvl], f"enc{lvl}")
+            if lvl < L:
+                skips.append(h)
+
+        # decoder
+        for lvl in range(L - 1, -1, -1):
+            h_child = h[jnp.clip(c2p[lvl], 0, h.shape[0] - 1)]
+            h_child = jnp.where(tables[lvl]["valid"][:, None], h_child, 0.0)
+            h = jnp.concatenate([h_child, skips[lvl]], axis=-1)
+            h = block(h, tables[lvl]["nb"], tables[lvl]["valid"],
+                      self.widths[lvl], f"dec{lvl}")
+
+        off = SparseConv3D(1, dtype=self.dtype, name="head")(
+            h, tables[0]["nb"], tables[0]["valid"])
+        return jnp.tanh(off)
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "capacity"))

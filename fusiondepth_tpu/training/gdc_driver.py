@@ -38,8 +38,8 @@ def median_scale_to_beams(pred_depth: np.ndarray, beam_depth: np.ndarray
 
 
 def gdc_one_frame(cfg: Config, data_path: str, folder: str, idx: int,
-                  side: str, calib: Optional[Calibration] = None
-                  ) -> np.ndarray:
+                  side: str, calib: Optional[Calibration] = None,
+                  cap_pl: int = 32768, cap_l: int = 8192) -> np.ndarray:
     """Full per-frame correction; returns the depth map that gets cached."""
     import cv2
 
@@ -78,7 +78,8 @@ def gdc_one_frame(cfg: Config, data_path: str, folder: str, idx: int,
         pred_depth.astype(np.float32), gtd.astype(np.float32),
         GDCCalib.from_calibration(calib),
         k=10, W_tol=3e-5, recon_tol=5e-4,
-        consider_range=consider_range))
+        consider_range=consider_range,
+        cap_pl=cap_pl, cap_l=cap_l))
 
     if not np.isfinite(corrected).all():
         print(f"GDC failed for {folder} {idx} {side}; keeping uncorrected")
@@ -87,7 +88,8 @@ def gdc_one_frame(cfg: Config, data_path: str, folder: str, idx: int,
 
 
 def run_inf_gdc(cfg: Config, lines: Sequence[str],
-                data_path: Optional[str] = None) -> int:
+                data_path: Optional[str] = None,
+                cap_pl: int = 32768, cap_l: int = 8192) -> int:
     """Process every `folder idx side` line; returns frames written."""
     data_path = data_path or cfg.data_path
     n = 0
@@ -100,7 +102,8 @@ def run_inf_gdc(cfg: Config, lines: Sequence[str],
             calib_cache[date] = Calibration.from_file(
                 os.path.join(data_path, date, "calib_cam_to_cam.txt"))
         depth = gdc_one_frame(cfg, data_path, folder, idx, side,
-                              calib_cache[date])
+                              calib_cache[date], cap_pl=cap_pl,
+                              cap_l=cap_l)
         if cfg.random_sample > 0:
             out_dir = os.path.join(data_path, folder,
                                    f"inf_gdc_r{cfg.random_sample}")
