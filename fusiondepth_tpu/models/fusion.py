@@ -43,6 +43,10 @@ class FusionNets:
     def __init__(self, cfg: Config, pose_depth: int | None = None):
         self.cfg = cfg
         self.pose_depth = pose_depth or cfg.num_layers
+        # the coarsest feature map (stride 32) must be >= 2x2 for the
+        # decoder's reflect-padded convs
+        assert cfg.height >= 64 and cfg.width >= 64, (
+            f"minimum resolution is 64x64, got {cfg.height}x{cfg.width}")
         dt = _dtype(cfg)
 
         enc_in = 3

@@ -46,3 +46,38 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put a host batch with its leading axis sharded over the mesh."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+# ---- spatial (H-axis) sharding: batch x space meshes --------------------
+#
+# For full-resolution workloads (352x1216 completion) the image height can
+# be sharded over a second mesh axis; XLA GSPMD inserts the conv halo
+# exchanges and warp-gather collectives automatically. Batch keys and their
+# sharded dims:
+
+_SPATIAL_SPECS = {
+    "color": P("data", None, "space"),        # (B, F, H, W, C)
+    "color_aug": P("data", None, "space"),
+    "two_channel": P("data", None, "space"),
+    "four_beam": P("data", "space"),          # (B, H, W, 1)
+    "inf_gdc": P("data", "space"),
+    "K": P("data"),
+    "inv_K": P("data"),
+    "stereo_T": P("data"),
+}
+
+
+def make_mesh_2d(dp: int, sp: int) -> Mesh:
+    """(data, space) mesh: dp-way batch x sp-way image-height sharding."""
+    devices = jax.devices()
+    assert dp * sp <= len(devices), (dp, sp, len(devices))
+    return Mesh(np.array(devices[: dp * sp]).reshape(dp, sp),
+                ("data", "space"))
+
+
+def shard_batch_spatial(batch, mesh: Mesh):
+    out = {}
+    for k, v in batch.items():
+        spec = _SPATIAL_SPECS.get(k, P("data"))
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
