@@ -1,96 +1,159 @@
 """Benchmark: self-supervised train-step throughput on the flagship config.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Config mirrors BASELINE.json config 3: ResNet-18, 640x192, batch 12,
-full photometric + SI loss train step (depth + beam + pose nets).
-vs_baseline compares against the A100 PyTorch reference throughput estimate
-(~9 samples/s for monodepth2-class models at batch 12; the reference never
-published a number — trainer.py:632-642 prints it live — so this constant is
-the driver's stand-in until a measured A100 figure lands in BASELINE.json).
+Default (driver) run mirrors BASELINE.json config 3: ResNet-18, 640x192,
+batch 12, full photometric + SI loss train step (depth + beam + pose nets).
+Secondary metrics go to stderr. `--config {1..5}` selects the other
+BASELINE benchmark configs for manual runs:
+  1: R18 single-frame forward (CPU ok)
+  2: R50 640x192 inference throughput
+  3: train step (default)
+  4: refiner train step (stage 2)
+  5: completion train step at 1216x352
+
+vs_baseline compares against an A100 PyTorch stand-in: the reference never
+published throughput (trainer.py:632-642 prints it live); ~350 samples/s
+for monodepth2-class R18 640x192 batch-12 training is deliberately generous
+to the baseline.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-# The reference never published throughput (trainer.py:632-642 prints it
-# live). Conservative A100 stand-in for monodepth2-class R18 640x192
-# training at batch 12 in PyTorch (fwd+bwd over 4 ResNet encoders + warps):
-# ~350 samples/s — deliberately generous to the baseline.
 A100_BASELINE_SAMPLES_PER_SEC = 350.0
 
-BATCH = 12
 WARMUP = 3
 ITERS = 10
 
 
-if __name__ == "__main__":
+def _timeit(fn, iters=ITERS, warmup=WARMUP):
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_train(cfg_kwargs, metric, batch):
     from fusiondepth_tpu.config import Config
-    from fusiondepth_tpu.models.fusion import FusionNets
     from fusiondepth_tpu.data.synthetic import make_batch
+    from fusiondepth_tpu.models.fusion import FusionNets
     from fusiondepth_tpu.training.train_state import (
         create_train_state,
         make_optimizer,
         make_train_step,
     )
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    cfg = Config(
-        num_layers=18,
-        height=192,
-        width=640,
-        batch_size=BATCH,
-        compute_dtype="bfloat16" if on_tpu else "float32",
-    )
+    cfg = Config(batch_size=batch, **cfg_kwargs)
     nets = FusionNets(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
     state = create_train_state(cfg, nets, jax.random.PRNGKey(0), tx)
-    batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=BATCH))
+    data = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=batch))
     step = jax.jit(make_train_step(cfg, nets, tx), donate_argnums=0)
 
-    rng = jax.random.PRNGKey(1)
-    for i in range(WARMUP):
-        rng, k = jax.random.split(rng)
-        state, losses = step(state, batch, k)
-    jax.block_until_ready(losses["loss"])
+    holder = {"state": state, "rng": jax.random.PRNGKey(1)}
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        rng, k = jax.random.split(rng)
-        state, losses = step(state, batch, k)
-    jax.block_until_ready(losses["loss"])
-    dt = time.perf_counter() - t0
+    def run():
+        holder["rng"], k = jax.random.split(holder["rng"])
+        holder["state"], losses = step(holder["state"], data, k)
+        return losses["loss"]
 
-    samples_per_sec = BATCH * ITERS / dt
+    dt = _timeit(run)
+    sps = batch / dt
+    return cfg, nets, holder["state"], data, {
+        "metric": metric, "value": round(sps, 2), "unit": "samples/s",
+        "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3)}
 
-    # secondary metric (stderr; the driver reads the single stdout line):
-    # single-image inference FPS at 640x192
-    import sys
 
-    from fusiondepth_tpu.training.train_state import combine_variables
+def bench_inference(cfg_kwargs, metric, batch=1):
+    from fusiondepth_tpu.config import Config
+    from fusiondepth_tpu.data.synthetic import make_batch
+    from fusiondepth_tpu.models.fusion import FusionNets
+    from fusiondepth_tpu.training.train_state import (
+        create_train_state,
+        make_optimizer,
+        combine_variables,
+    )
 
+    cfg = Config(batch_size=batch, **cfg_kwargs)
+    nets = FusionNets(cfg)
+    tx = make_optimizer(cfg, 1)
+    state = create_train_state(cfg, nets, jax.random.PRNGKey(0), tx)
     variables = combine_variables(state.params, state.batch_stats)
-    b1 = jax.tree.map(lambda x: x[:1], batch)
+    data = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=batch))
     infer = jax.jit(lambda v, b: nets.forward_depth(
         v, b, train=False)[0][("disp", 0)])
-    out = infer(variables, b1)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(50):
-        out = infer(variables, b1)
-    jax.block_until_ready(out)
-    fps = 50 / (time.perf_counter() - t0)
-    print(f"inference_fps_640x192_b1: {fps:.1f}", file=sys.stderr)
+    dt = _timeit(lambda: infer(variables, data), iters=50)
+    fps = batch / dt
+    return {"metric": metric, "value": round(fps, 1), "unit": "fps",
+            "vs_baseline": round(fps / 30.0, 2)}  # "real-time" = 30 fps
 
-    print(json.dumps({
-        "metric": "train_samples_per_sec_r18_640x192_b12",
-        "value": round(samples_per_sec, 2),
-        "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
-    }))
+
+def bench_refiner(cfg_kwargs, batch=4):
+    from fusiondepth_tpu.config import Config
+    from fusiondepth_tpu.data.synthetic import make_batch
+    from fusiondepth_tpu.training.refiner_driver import Refiner
+
+    cfg = Config(batch_size=batch, **cfg_kwargs)
+    r = Refiner(cfg)
+    data = make_batch(cfg, batch_size=batch)
+    import numpy as np
+
+    data["inf_gdc"] = np.full((batch, cfg.height, cfg.width, 1), 12.0,
+                              np.float32)
+
+    def run():
+        return r.run_step(data)["loss"]
+
+    dt = _timeit(run, iters=5, warmup=2)
+    sps = batch / dt
+    return {"metric": "refine_samples_per_sec", "value": round(sps, 2),
+            "unit": "samples/s", "vs_baseline": round(sps / 100.0, 3)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=int, default=3, choices=[1, 2, 3, 4, 5])
+    args = p.parse_args()
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dt = "bfloat16" if on_tpu else "float32"
+    base = dict(num_layers=18, height=192, width=640, compute_dtype=dt)
+
+    if args.config == 1:
+        result = bench_inference(base, "forward_fps_r18_640x192_b1")
+    elif args.config == 2:
+        result = bench_inference(
+            dict(base, num_layers=50), "inference_fps_r50_640x192_b1")
+    elif args.config == 4:
+        result = bench_refiner(base)
+    elif args.config == 5:
+        result = bench_train(
+            dict(num_layers=50, height=352, width=1216, compute_dtype=dt,
+                 completion_num_layers=50, remat=True),
+            "completion_samples_per_sec_r50_1216x352", batch=2)[-1]
+    else:
+        cfg, nets, state, data, result = bench_train(
+            base, "train_samples_per_sec_r18_640x192_b12", batch=12)
+        # secondary: single-image inference FPS (stderr only)
+        sec = bench_inference(base, "inference_fps_640x192_b1")
+        print(f"inference_fps_640x192_b1: {sec['value']}", file=sys.stderr)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

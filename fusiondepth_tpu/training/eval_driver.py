@@ -171,7 +171,6 @@ def evaluate_per_semantic(cfg: Config, disps, gts) -> Optional[np.ndarray]:
 
     from fusiondepth_tpu.training.evaluation import (
         compute_errors_np,
-        evaluate_one,
         garg_crop_mask,
     )
     import cv2
