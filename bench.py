@@ -114,6 +114,9 @@ def bench_refiner(cfg_kwargs, batch=4):
 
     data["inf_gdc"] = np.full((batch, cfg.height, cfg.width, 1), 12.0,
                               np.float32)
+    # device-resident once — re-uploading numpy each step would measure the
+    # host tunnel, not the computation
+    data = jax.tree.map(jnp.asarray, data)
 
     def run():
         return r.run_step(data)["loss"]

@@ -213,8 +213,13 @@ def evaluate(cfg: Config, dataset=None):
 
         split_dir = os.path.join(os.path.dirname(__file__), "..", "..",
                                  "splits")
-        files = readlines(os.path.join(
-            split_dir, cfg.eval_split, "test_files.txt"))
+        if cfg.demo:
+            # demo mode evaluates the frames listed in splits/demo/demo.txt
+            # (reference evaluate_depth.py:95-97)
+            files = readlines(os.path.join(split_dir, "demo", "demo.txt"))
+        else:
+            files = readlines(os.path.join(
+                split_dir, cfg.eval_split, "test_files.txt"))
         dataset = KITTIRAWDataset(
             cfg.data_path, files, cfg.height, cfg.width, [0],
             is_train=False, img_ext=".png" if cfg.png else ".jpg", cfg=cfg)
