@@ -148,6 +148,9 @@ def main():
             dict(num_layers=50, height=352, width=1216, compute_dtype=dt,
                  completion_num_layers=50, remat=True),
             "completion_samples_per_sec_r50_1216x352", batch=2)[-1]
+        # config-5 baseline: A100 PyTorch full-res completion ~50 samples/s
+        result["vs_baseline"] = round(
+            result["value"] / 50.0, 3)
     else:
         cfg, nets, state, data, result = bench_train(
             base, "train_samples_per_sec_r18_640x192_b12", batch=12)
