@@ -180,11 +180,20 @@ class Trainer:
         variables = self.variables()
         loader = self._loader(self.val_dataset, shuffle=False)
         disps, gts = [], []
+        sample_logged = False
         for batch in loader:
             db = device_batch(batch)
             disp = self._infer(variables, db)
             disps.extend(np.asarray(disp)[..., 0])
             gts.extend(batch.get("depth_gt", []))
+            if (self.cfg.save_sample or self.cfg.visualize) \
+                    and not sample_logged:
+                d = np.asarray(disp)[0, :, :, 0]
+                self.loggers["val"].log_image(
+                    self.step, "disp_0", d / max(float(d.max()), 1e-9))
+                self.loggers["val"].log_image(
+                    self.step, "color_0", np.asarray(batch["color"])[0, 0])
+                sample_logged = True
         if not gts:
             return None
         metrics = evaluate_disparities(disps, gts)

@@ -59,5 +59,28 @@ class MetricLogger:
                 for k, v in scalars.items():
                     tf.summary.scalar(k, float(v), step=int(step))
 
+    def log_image(self, step: int, name: str, image) -> None:
+        """Log an HWC [0,1] image (TensorBoard when available, else a png
+        next to the metrics) — the reference's TB image logging
+        (trainer.py:644-681)."""
+        import numpy as np
+
+        img = np.clip(np.asarray(image), 0.0, 1.0)
+        if img.ndim == 2:
+            img = img[..., None]
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                tf.summary.image(name, img[None], step=int(step))
+        else:
+            from PIL import Image
+
+            arr = (img * 255).astype(np.uint8)
+            if arr.shape[-1] == 1:
+                arr = arr[..., 0]
+            Image.fromarray(arr).save(os.path.join(
+                self.dir, f"{name.replace('/', '_')}_{int(step)}.png"))
+
     def close(self) -> None:
         self._f.close()
