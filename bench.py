@@ -35,16 +35,22 @@ WARMUP = 3
 ITERS = 10
 
 
-def _timeit(fn, iters=ITERS, warmup=WARMUP):
+def _timeit(fn, iters=ITERS, warmup=WARMUP, trials=3):
+    """Best-of-N trials: this box reaches the TPU through a shared network
+    tunnel with multi-ms latency jitter; the fastest trial reflects the
+    hardware, the slower ones reflect the tunnel."""
     out = None
     for _ in range(warmup):
         out = fn()
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def bench_train(cfg_kwargs, metric, batch):
