@@ -54,6 +54,10 @@ class Config:
     predictive_mask: bool = False
     no_ssim: bool = False
     weights_init: str = "pretrained"  # or "scratch"
+    # torchvision-format resnet{depth}.pth file or directory; None = torch
+    # hub cache (the reference downloads from the model zoo instead,
+    # reference networks/resnet_encoder.py:46-49)
+    pretrained_weights_path: Optional[str] = None
     pose_model_input: str = "pairs"  # or "all"
     pose_model_type: str = "separate_resnet"  # posecnn|separate_resnet|shared
 
@@ -148,11 +152,10 @@ class Config:
 
     # TPU-NATIVE KNOBS (new; no reference equivalent)
     compute_dtype: str = "float32"  # "bfloat16" for MXU speed
+    use_mesh: bool = False  # shard batches over the device mesh (data parallel)
     mesh_shape: Tuple[int, ...] = ()  # () = all devices on one data axis
     grad_accum_steps: int = 1  # lax.scan microbatching
     remat: bool = False  # jax.checkpoint the forward (memory for 352x1216)
-    jit_backend: Optional[str] = None
-    log_examples_sec: bool = True
 
     # ---- derived helpers ----
     @property
@@ -188,6 +191,27 @@ class Config:
 
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(Config)}
+
+# Flags the REFERENCE declares but never reads — kept only for CLI
+# compatibility; setting them is a no-op there too. parse_args warns when a
+# user sets one so the no-op is never silent.
+DEAD_REFERENCE_FLAGS = {
+    "clone_path": "declared reference options.py:290, never read",
+    "gdc_abs_loss": "declared reference options.py:323, never read",
+    "completion_amp": ("declared reference options.py:362; only a "
+                       "commented-out site (completor.py:230) — use "
+                       "--compute_dtype bfloat16 for mixed precision here"),
+    "completion_clip": "declared reference options.py:375, never read",
+    "debug": ("declared reference options.py:394; only a commented-out "
+              "site (completor.py:644)"),
+}
+
+
+def warn_dead_flags(cfg: Config) -> None:
+    defaults = Config()
+    for name, why in DEAD_REFERENCE_FLAGS.items():
+        if getattr(cfg, name) != getattr(defaults, name):
+            print(f"WARNING: --{name} has no effect ({why})", flush=True)
 
 
 def _str2bool(v: str) -> bool:
@@ -231,4 +255,6 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> Config:
     for k in ("scales", "frame_ids", "models_to_load", "mesh_shape"):
         if isinstance(d.get(k), list):
             d[k] = tuple(d[k])
-    return Config(**d)
+    cfg = Config(**d)
+    warn_dead_flags(cfg)
+    return cfg

@@ -29,6 +29,27 @@ def kitti_like_intrinsics(height: int, width: int) -> np.ndarray:
     return K
 
 
+class SyntheticDataset:
+    """In-memory dataset of random-but-plausible samples, following the
+    per-sample dict contract of MonoDataset (reference
+    datasets/mono_dataset.py:109-228). Lets trainers/dry-runs exercise the
+    exact production loader + step path without KITTI on disk."""
+
+    def __init__(self, cfg: Config, length: int = 8, seed: int = 0,
+                 height: int | None = None, width: int | None = None):
+        batch = make_batch(cfg, batch_size=length, seed=seed,
+                           height=height, width=width)
+        self.samples = [
+            {k: v[i] for k, v in batch.items()} for i in range(length)
+        ]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        return self.samples[i]
+
+
 def make_batch(cfg: Config, batch_size: int = 2, seed: int = 0,
                height: int | None = None, width: int | None = None):
     """Random but well-conditioned batch (values in [0,1], plausible beams)."""

@@ -46,7 +46,7 @@ def device_batch(batch: Dict[str, object]) -> Dict[str, jnp.ndarray]:
 
 class Trainer:
     def __init__(self, cfg: Config, train_dataset=None, val_dataset=None,
-                 use_mesh: bool = False):
+                 use_mesh: Optional[bool] = None):
         cfg = cfg.replace(num_epochs=max((8 * 17) // cfg.batch_size, 1))
         if cfg.use_stereo and "s" not in cfg.frame_ids:
             # stereo adds the opposite-side frame (reference trainer.py:63-64)
@@ -69,8 +69,17 @@ class Trainer:
         self.state = create_train_state(
             cfg, self.nets, jax.random.PRNGKey(cfg.seed), self.tx)
 
-        self.mesh = make_mesh() if use_mesh else None
+        # data parallelism: honor cfg.use_mesh / cfg.mesh_shape from the CLI
+        # (the ctor arg overrides for tests); params replicated, batches
+        # sharded on the leading axis, GSPMD inserts the gradient psum.
+        if use_mesh is None:
+            use_mesh = cfg.use_mesh
+        self.mesh = make_mesh(cfg.mesh_shape) if use_mesh else None
         if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            assert cfg.batch_size % n_data == 0, (
+                f"batch_size {cfg.batch_size} not divisible by the mesh's "
+                f"data axis ({n_data} devices)")
             self.state = jax.device_put(
                 self.state, replicated_sharding(self.mesh))
 
@@ -87,8 +96,14 @@ class Trainer:
         ckpt.save_options(cfg)
 
         if cfg.train_load_weights_folder:
+            # resume restricted to --models_to_load, with the beam encoders
+            # appended when they exist (reference trainer.py:725-730)
+            to_load = list(cfg.models_to_load)
+            if cfg.beam_encoder:
+                to_load += ["beam_encoder", "beam_encoder_pose"]
             self.state, _ = ckpt.load_checkpoint(
-                cfg.train_load_weights_folder, self.state)
+                cfg.train_load_weights_folder, self.state,
+                models_to_load=to_load)
 
         self.best_absrel = float("inf")
         self.rng = jax.random.PRNGKey(cfg.seed + 1)

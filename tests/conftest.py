@@ -13,9 +13,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "collective_call" not in flags:
+    # 8 per-device threads reach each all-reduce serially on this 1-core
+    # box; XLA CPU's default 20 s/40 s rendezvous timers abort flakily
+    # under load (same fix as __graft_entry__.dryrun_multichip)
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 # the axon sitecustomize imports jax at interpreter start with
 # JAX_PLATFORMS=axon baked in; env vars alone no longer win — the config
