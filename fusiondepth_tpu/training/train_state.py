@@ -141,6 +141,12 @@ def create_train_state(cfg: Config, nets: FusionNets, rng,
                        tx: optax.GradientTransformation,
                        batch_size: int = 1) -> TrainState:
     variables = nets.init(rng, batch_size=batch_size)
+    if cfg.weights_init == "pretrained":
+        # reference default: every ResNet encoder starts from converted
+        # torchvision ImageNet weights (networks/resnet_encoder.py:33-50)
+        from fusiondepth_tpu.models.pretrained import apply_pretrained
+
+        variables = apply_pretrained(cfg, nets, variables)
     params, stats = split_variables(variables)
     return TrainState(
         params=params,
