@@ -16,7 +16,7 @@ from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 
-_UNSTACKED_KEYS = {"depth_gt"}
+_UNSTACKED_KEYS = {"depth_gt", "path"}
 
 
 def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, object]:
@@ -63,18 +63,62 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def worker():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    q.put(collate([self.dataset[i] for i in b]))
-            except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
-            finally:
-                q.put(None)
+        def safe_put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
-        t = threading.Thread(target=worker, daemon=True)
+        def producer():
+            """Fan sample assembly out over `num_workers` threads (PIL
+            decode / numpy resize / velodyne projection release the GIL),
+            collate in submission order. Mirrors the reference's
+            DataLoader(num_workers=4) workers (reference trainer.py:158-160)
+            with threads instead of processes."""
+            try:
+                if self.num_workers <= 1:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        if not safe_put(collate([self.dataset[i]
+                                                 for i in b])):
+                            return
+                    return
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    pending: deque = deque()
+                    it = iter(batches)
+
+                    def submit_next() -> bool:
+                        b = next(it, None)
+                        if b is None:
+                            return False
+                        pending.append(
+                            [ex.submit(self.dataset.__getitem__, i)
+                             for i in b])
+                        return True
+
+                    # keep prefetch+1 batches of samples in flight
+                    for _ in range(self.prefetch + 1):
+                        if not submit_next():
+                            break
+                    while pending and not stop.is_set():
+                        futs = pending.popleft()
+                        samples = [f.result() for f in futs]
+                        if not safe_put(collate(samples)):
+                            return
+                        submit_next()
+            except Exception as e:  # surface worker errors to the consumer
+                safe_put(e)
+            finally:
+                safe_put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
