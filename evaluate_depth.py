@@ -8,6 +8,11 @@ from fusiondepth_tpu.config import parse_args
 
 def main():
     cfg = parse_args()
+    # exactly one of --eval_mono / --eval_stereo must be chosen
+    # (reference evaluate_depth.py:81-83)
+    assert sum((cfg.eval_mono, cfg.eval_stereo)) == 1, (
+        "Please choose mono or stereo evaluation by setting either "
+        "--eval_mono or --eval_stereo")
     from fusiondepth_tpu.training.eval_driver import evaluate
 
     evaluate(cfg)

@@ -170,6 +170,22 @@ class KITTICompletion:
             d = bottom_crop(d)
         return d.copy()
 
+    def _two_channel(self, d_path: str, do_flip: bool) -> np.ndarray:
+        """Precomputed (gen2cha_completion.py) expansion from the `2cha/`
+        sibling of the sparse-depth dir (reference
+        kitti_completion.py:82-105), HWC float32."""
+        head, tail = os.path.split(d_path)
+        npy_path = os.path.join(os.path.dirname(head), "2cha",
+                                tail[: tail.find(".")] + ".npy")
+        arr = np.load(npy_path).astype(np.float32)
+        if arr.shape[0] == 2 and arr.ndim == 3:  # channel-first caches
+            arr = np.moveaxis(arr, 0, -1)
+        if do_flip:
+            arr = arr[:, ::-1]
+        if arr.shape[:2] != (self.height, self.width):
+            arr = bottom_crop(arr)
+        return arr.copy()
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         do_color_aug = self.is_train and self.rng.random() > 0.5
@@ -187,14 +203,23 @@ class KITTICompletion:
                 colors.append(self._color(
                     os.path.join(head, f"{frame_index + i:010d}.png"),
                     do_flip))
-                sparse = self._depth(
-                    os.path.join(head_d, f"{frame_index + i:010d}.png"),
-                    do_flip) / 100.0
-                sparse_stack.append(np.stack([sparse, sparse], axis=-1))
+                dp = os.path.join(head_d, f"{frame_index + i:010d}.png")
+                if cfg.completion_need2channel:
+                    # real expanded 2channel cache (reference
+                    # completion_dataset.py:317-321)
+                    sparse_stack.append(self._two_channel(dp, do_flip))
+                else:
+                    # default: raw sparse depth stacked twice (reference
+                    # completion_dataset.py:322-325,367)
+                    sparse = self._depth(dp, do_flip) / 100.0
+                    sparse_stack.append(np.stack([sparse, sparse], axis=-1))
         else:
             colors.append(self._color(rgb_path, do_flip))
-            sparse = self._depth(d_path, do_flip) / 100.0
-            sparse_stack.append(np.stack([sparse, sparse], axis=-1))
+            if cfg.completion_need2channel:
+                sparse_stack.append(self._two_channel(d_path, do_flip))
+            else:
+                sparse = self._depth(d_path, do_flip) / 100.0
+                sparse_stack.append(np.stack([sparse, sparse], axis=-1))
 
         color = np.stack(colors)
         if do_color_aug:
@@ -214,6 +239,10 @@ class KITTICompletion:
             "K": K.astype(np.float32),
             "inv_K": np.linalg.pinv(K).astype(np.float32),
         }
+        if cfg.need_path:
+            # rgb path for naming offline caches (reference
+            # completion_dataset.py:307-308; collated unstacked)
+            sample["path"] = rgb_path
 
         if cfg.need_4beam:
             fb = self._depth(d_path, do_flip) / 100.0

@@ -101,6 +101,15 @@ class KITTIDataset(MonoDataset):
             depth = np.fliplr(depth)
         return depth
 
+    def get_4beam_full(self, folder, frame_index, side, do_flip):
+        """Native-resolution (375, 1242) projection of the K-beam bin.
+        Deliberately NOT flipped under do_flip — the reference never flips
+        the full-res copy (reference kitti_dataset.py:112-117)."""
+        velo = os.path.join(self.data_path, folder, self.beam_folder(),
+                            self.frame_str(frame_index) + ".bin")
+        return generate_depth_map(self.calib_dir(folder, frame_index), velo,
+                                  SIDE_MAP[side], shape=(375, 1242))
+
     def load_4beam_2channel(self, folder, frame_index, side, do_flip):
         path = os.path.join(
             self.data_path, folder, self.two_channel_folder(),

@@ -9,6 +9,8 @@ host only decodes, resizes to (H, W), augments, and stacks:
   color_aug    (F, H, W, 3) same jitter for all frames of one sample
   two_channel  (F, H, W, 2)
   four_beam    (H, W, 1)    K-beam sparse depth / 100
+  four_beam_full / two_channel_full — native-res copies when
+               cfg.need_full_res_4beam (reference mono_dataset.py:195-211)
   K, inv_K     (4, 4)       full-resolution intrinsics
   stereo_T     (4, 4)       when "s" in frame_ids
   inf_gdc      (H, W, 1)    cached GDC output (refiner distillation)
@@ -121,6 +123,10 @@ class MonoDataset:
     def load_gdc(self, folder, frame_index, side, do_flip) -> np.ndarray:
         raise NotImplementedError
 
+    def get_4beam_full(self, folder, frame_index, side, do_flip
+                       ) -> np.ndarray:
+        raise NotImplementedError
+
     # ---- assembly ----
 
     def parse_line(self, index: int):
@@ -166,6 +172,10 @@ class MonoDataset:
             "color": color,
             "color_aug": color_aug,
         }
+        if cfg.need_path:
+            # raw split line, used to name offline caches (reference
+            # mono_dataset.py:143-144; collated unstacked)
+            sample["path"] = self.filenames[index]
         if cfg.need_2_channel:
             sample["two_channel"] = np.stack(two_channels).astype(np.float32)
 
@@ -179,6 +189,20 @@ class MonoDataset:
             fb = self.get_4beam(folder, frame_index, side, do_flip)
             sample["four_beam"] = (
                 fb.astype(np.float32) / 100.0)[..., None]
+            if cfg.need_full_res_4beam:
+                # native-resolution copies (reference
+                # mono_dataset.py:195-211): (375,1242) beam projection and
+                # the nearest-upsampled frame-0 2channel
+                full = self.get_4beam_full(folder, frame_index, side,
+                                           do_flip)
+                sample["four_beam_full"] = (
+                    full.astype(np.float32) / 100.0)[..., None]
+                if cfg.need_2_channel:
+                    import cv2
+
+                    sample["two_channel_full"] = cv2.resize(
+                        sample["two_channel"][0], (1242, 375),
+                        interpolation=cv2.INTER_NEAREST)
 
         if self.load_depth:
             sample["depth_gt"] = self.get_depth(

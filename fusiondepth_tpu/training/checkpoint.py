@@ -55,11 +55,14 @@ def save_checkpoint(cfg: Config, state, tag: str) -> str:
     return path
 
 
-def load_checkpoint(path: str, state) -> tuple:
+def load_checkpoint(path: str, state, models_to_load=None) -> tuple:
     """Restore into the structure of `state`; returns (state, meta).
 
     Partial loads (reference trainer.py:717-746 filters the state dict) are
     handled by restoring only the subtrees present in the checkpoint.
+    `models_to_load` (reference --models_to_load, options.py:153-157)
+    restricts the restore to the named nets; others keep their current
+    values, and the optimizer state is restored only when every net loads.
     """
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
@@ -69,6 +72,16 @@ def load_checkpoint(path: str, state) -> tuple:
         "opt_state": state.opt_state,
     }
     restored = ckptr.restore(path, template)
+    if models_to_load is not None:
+        sel = set(models_to_load)
+        restored["params"] = {
+            k: (restored["params"][k] if k in sel else v)
+            for k, v in state.params.items()}
+        restored["batch_stats"] = {
+            k: (restored["batch_stats"][k] if k in sel else v)
+            for k, v in state.batch_stats.items()}
+        if not sel >= set(state.params):
+            restored["opt_state"] = state.opt_state
     meta = {}
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):

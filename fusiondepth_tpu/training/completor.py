@@ -29,16 +29,33 @@ from fusiondepth_tpu.training.train_state import (
     TrainState,
     combine_variables,
     create_train_state,
-    make_optimizer,
 )
 from fusiondepth_tpu.utils.logging import MetricLogger, sec_to_hm_str
 
 
-def completion_metrics(gt_m: np.ndarray, pred_m: np.ndarray
-                       ) -> Dict[str, float]:
+def make_completion_optimizer(cfg: Config, steps_per_epoch: int
+                              ) -> optax.GradientTransformation:
+    """Adam at the RAW learning rate with StepLR(completion_scheduler_step_size,
+    gamma=0.1) — the completor does NOT apply the stage-1 trainer's
+    batch-size lr rescaling (reference completor.py:121-123)."""
+    boundary = max(cfg.completion_scheduler_step_size, 1) * max(
+        steps_per_epoch, 1)
+    schedule = optax.piecewise_constant_schedule(
+        cfg.learning_rate, {boundary * (i + 1): 0.1 for i in range(3)})
+    return optax.adam(schedule, eps=1e-8)
+
+
+def completion_metrics(gt_m: np.ndarray, pred_m: np.ndarray,
+                       eigen_crop: bool = False) -> Dict[str, float]:
     """rmse/mae/irmse/imae in mm / 1-per-km (reference
-    evaluate_completion.py:31-48). Inputs in meters, valid where gt > 0."""
+    evaluate_completion.py:31-48). Inputs in meters, valid where gt > 0.
+    `eigen_crop` restricts to the completor's garg/eigen window
+    [153:371, 44:1197] (reference completor.py:744-747)."""
     mask = gt_m > 0
+    if eigen_crop:
+        crop = np.zeros_like(mask)
+        crop[153:371, 44:1197] = True
+        mask &= crop
     gt = gt_m[mask]
     pred = np.clip(pred_m[mask], 1e-3, None)
     err_mm = (gt - pred) * 1000.0
@@ -84,9 +101,14 @@ def make_completion_loss_fn(cfg: Config, nets: FusionNets):
             beam_depth = batch["four_beam"] * 100.0
             depth = depth * 26.0  # reference completor.py:701
             if cfg.completion_siloss:
+                # the reference's live SI term hard-codes *0.1 — equal to
+                # completion_siloss_weight's default (completor.py:711,
+                # options.py:339-341; its in-loop `weight *= 2.0` mutation
+                # at :693 feeds only commented-out code)
                 si = si_loss(depth, beam_depth,
                              threshold=cfg.gdc_loss_threshold,
-                             si_var=cfg.si_var)
+                             si_var=cfg.si_var,
+                             scale=cfg.completion_siloss_weight)
                 total = total + si
                 losses[f"loss/si_loss{scale}"] = si
             elif cfg.completion_l1loss:
@@ -125,7 +147,7 @@ class Completor:
 
         steps = (max(len(train_dataset) // cfg.batch_size, 1)
                  if train_dataset is not None else 1000)
-        self.tx = make_optimizer(cfg, steps)
+        self.tx = make_completion_optimizer(cfg, steps)
         self.state = create_train_state(
             cfg, self.nets, jax.random.PRNGKey(cfg.seed), self.tx)
 
@@ -212,7 +234,9 @@ class Completor:
         for batch in loader:
             depth = self.predict_depth(batch)
             for i, gt in enumerate(batch.get("depth_gt", [])):
-                rows.append(completion_metrics(np.asarray(gt), depth[i]))
+                rows.append(completion_metrics(
+                    np.asarray(gt), depth[i],
+                    eigen_crop=self.cfg.completion_eigen_crop))
         if not rows:
             return None
         metrics = {k: float(np.mean([r[k] for r in rows]))

@@ -18,6 +18,7 @@ from fusiondepth_tpu.models.fusion import FusionNets
 from fusiondepth_tpu.training import checkpoint as ckpt
 from fusiondepth_tpu.training.evaluation import (
     METRIC_NAMES,
+    STEREO_SCALE_FACTOR,
     evaluate_disparities,
     flip_postprocess,
 )
@@ -92,9 +93,24 @@ def predict_refined_disparities(cfg: Config, dataset):
     loader = DataLoader(dataset, cfg.eval_batch_size, shuffle=False)
     disps, gts = [], []
     for batch in loader:
-        disp = refiner.infer(refiner.refine_params,
-                             refiner.frozen_variables, device_batch(batch))
-        disps.extend(np.asarray(disp)[..., 0])
+        db = device_batch(batch)
+        disp = np.asarray(refiner.infer(
+            refiner.refine_params, refiner.frozen_variables, db))[..., 0]
+        if cfg.post_process:
+            # flip post-process through the FULL refine pipeline (reference
+            # evaluate_depth.py:168-170,240-242 duplicates the batch with
+            # mirrored inputs before the refine loop)
+            flipped = {
+                k: (v[..., ::-1, :] if k in ("color", "color_aug",
+                                             "two_channel", "four_beam")
+                    else v)
+                for k, v in db.items()
+            }
+            disp_f = np.asarray(refiner.infer(
+                refiner.refine_params, refiner.frozen_variables,
+                flipped))[..., 0]
+            disp = flip_postprocess(disp, disp_f[:, :, ::-1])
+        disps.extend(disp)
         gts.extend(batch.get("depth_gt", []))
     return disps, gts
 
@@ -134,10 +150,15 @@ def gdc_on_disparities(cfg: Config, dataset, disps):
         depth = median_scale_to_beams(depth, beams)
         gtd = beams.copy()
         gtd[gtd == 0] = -1
-        corrected = np.asarray(gdc_correct(
+        corrected, info = gdc_correct(
             depth.astype(np.float32), gtd.astype(np.float32),
             GDCCalib.from_calibration(calib),
-            k=10, W_tol=3e-5, recon_tol=5e-4))
+            k=10, W_tol=3e-5, recon_tol=5e-4, return_info=True)
+        corrected = np.asarray(corrected)
+        if bool(info["overflow"]):
+            print(f"WARNING: GDC capacity overflow at frame {i}: "
+                  f"n_pl={int(info['n_pl'])} n_l={int(info['n_l'])} — "
+                  "points beyond capacity were dropped", flush=True)
         if not np.isfinite(corrected).all():
             print(f"GDC failed at frame {i}; keeping uncorrected")
             out.append(disp)
@@ -208,7 +229,10 @@ def evaluate_per_semantic(cfg: Config, disps, gts) -> Optional[np.ndarray]:
 
 def evaluate(cfg: Config, dataset=None):
     if dataset is None:
-        from fusiondepth_tpu.data.kitti_dataset import KITTIRAWDataset
+        from fusiondepth_tpu.data.kitti_dataset import (
+            KITTIDepthDataset,
+            KITTIRAWDataset,
+        )
         from fusiondepth_tpu.data.kitti_io import readlines
 
         split_dir = os.path.join(os.path.dirname(__file__), "..", "..",
@@ -220,7 +244,12 @@ def evaluate(cfg: Config, dataset=None):
         else:
             files = readlines(os.path.join(
                 split_dir, cfg.eval_split, "test_files.txt"))
-        dataset = KITTIRAWDataset(
+        # eigen_benchmark evaluates against the improved (annotated-png) GT
+        # of the KITTI depth benchmark; its protocol masks gt>0 with no garg
+        # crop (evaluation.evaluate_one handles non-"eigen" splits)
+        cls = (KITTIDepthDataset if cfg.eval_split == "eigen_benchmark"
+               else KITTIRAWDataset)
+        dataset = cls(
             cfg.data_path, files, cfg.height, cfg.width, [0],
             is_train=False, img_ext=".png" if cfg.png else ".jpg", cfg=cfg)
 
@@ -242,6 +271,27 @@ def evaluate(cfg: Config, dataset=None):
                               dtype=object), allow_pickle=True)
         print(f"saved predicted disparities -> {out}")
 
+    if cfg.no_eval:
+        # export-only mode (reference evaluate_depth.py:287-289)
+        print("-> Evaluation disabled. Done.")
+        return None
+
+    if cfg.eval_split == "benchmark":
+        # KITTI benchmark test set has no public GT: export uint16 depth
+        # pngs at 1216x352 instead (reference evaluate_depth.py:291-305)
+        import cv2
+
+        save_dir = os.path.join(cfg.log_dir, "benchmark_predictions")
+        os.makedirs(save_dir, exist_ok=True)
+        for idx, disp in enumerate(disps):
+            d = cv2.resize(np.asarray(disp, np.float32), (1216, 352))
+            depth = np.clip(STEREO_SCALE_FACTOR / np.maximum(d, 1e-9), 0, 80)
+            cv2.imwrite(os.path.join(save_dir, f"{idx:010d}.png"),
+                        np.uint16(depth * 256))
+        print(f"-> Saved benchmark predictions to {save_dir}; "
+              "no ground truth available, not evaluating.")
+        return None
+
     if cfg.visualize:
         save_visualizations(cfg, disps,
                             os.path.join(cfg.log_dir, "visualization"))
@@ -251,6 +301,14 @@ def evaluate(cfg: Config, dataset=None):
 
     if cfg.eval_gdc:
         disps = gdc_on_disparities(cfg, dataset, disps)
+
+    if cfg.eval_stereo:
+        # stereo protocol: no median scaling, fixed x5.4 metric scale
+        # (reference evaluate_depth.py:320-324)
+        print("   Stereo evaluation - disabling median scaling, "
+              f"scaling by {STEREO_SCALE_FACTOR}")
+        cfg = cfg.replace(disable_median_scaling=True,
+                          pred_depth_scale_factor=STEREO_SCALE_FACTOR)
 
     metrics = evaluate_disparities(
         disps, gts,

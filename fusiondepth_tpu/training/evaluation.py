@@ -14,6 +14,10 @@ import numpy as np
 
 METRIC_NAMES = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
 
+# models trained with stereo supervision predict depth up to the KITTI rig's
+# 0.1-unit baseline; x5.4 recovers meters (reference evaluate_depth.py:32)
+STEREO_SCALE_FACTOR = 5.4
+
 
 def compute_errors_np(gt: np.ndarray, pred: np.ndarray) -> Dict[str, float]:
     """The 7 standard metrics over flat valid-pixel arrays."""

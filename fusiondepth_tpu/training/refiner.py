@@ -181,9 +181,12 @@ def make_refine_loss_fn(cfg: Config, nets: RefinerNets):
         pose_out, _ = s1.predict_poses(frozen_variables, batch, feats,
                                        train=False)
         outputs.update(pose_out)
-        outputs = jax.tree.map(jax.lax.stop_gradient, outputs)
-        feats = [jax.lax.stop_gradient(f) for f in feats]
-        beam_feats = [jax.lax.stop_gradient(f) for f in beam_feats]
+        if not cfg.train_entire_net:
+            # frozen stage-1 (reference refiner.py:306 wraps the stage-1
+            # forward in no_grad unless --train_entire_net)
+            outputs = jax.tree.map(jax.lax.stop_gradient, outputs)
+            feats = [jax.lax.stop_gradient(f) for f in feats]
+            beam_feats = [jax.lax.stop_gradient(f) for f in beam_feats]
 
         depth_maps = nets.build_pseudo3d(batch, outputs)
 

@@ -52,20 +52,58 @@ class Refiner:
             jax.random.PRNGKey(cfg.seed + 2))
         lr = cfg.learning_rate * (cfg.batch_size / 8.0)
         self.tx = optax.adam(lr)
-        self.opt_state = self.tx.init(self.refine_params)
 
         loss_fn = make_refine_loss_fn(cfg, self.nets)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        def train_step(refine_params, opt_state, frozen, batch, rng):
-            (loss, losses), grads = grad_fn(refine_params, frozen, batch,
-                                            rng)
-            updates, opt_state = self.tx.update(grads, opt_state,
-                                                refine_params)
-            refine_params = optax.apply_updates(refine_params, updates)
-            return refine_params, opt_state, losses
+        if cfg.train_entire_net:
+            # --train_entire_net ablation: the stage-1 nets' parameters join
+            # the optimizer while their BatchNorm stays in eval mode with
+            # frozen running stats (reference refiner.py:89-143 adds every
+            # stage-1 net to parameters_to_train but keeps .eval()).
+            self._s1_stats = {
+                k: v.get("batch_stats", {})
+                for k, v in self.frozen_variables.items()}
 
-        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            def entire_loss(trainable, batch, rng):
+                frozen = {}
+                for k, p in trainable["stage1"].items():
+                    v = {"params": p}
+                    if self._s1_stats[k]:
+                        v["batch_stats"] = self._s1_stats[k]
+                    frozen[k] = v
+                return loss_fn(trainable["refine"], frozen, batch, rng)
+
+            grad_fn = jax.value_and_grad(entire_loss, has_aux=True)
+            trainable0 = {
+                "refine": self.refine_params,
+                "stage1": {k: v["params"]
+                           for k, v in self.frozen_variables.items()},
+            }
+            self.opt_state = self.tx.init(trainable0)
+
+            def train_step(refine_params, s1_params, opt_state, batch, rng):
+                trainable = {"refine": refine_params, "stage1": s1_params}
+                (loss, losses), grads = grad_fn(trainable, batch, rng)
+                updates, opt_state = self.tx.update(grads, opt_state,
+                                                    trainable)
+                trainable = optax.apply_updates(trainable, updates)
+                return (trainable["refine"], trainable["stage1"], opt_state,
+                        losses)
+
+            self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        else:
+            self.opt_state = self.tx.init(self.refine_params)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def train_step(refine_params, opt_state, frozen, batch, rng):
+                (loss, losses), grads = grad_fn(refine_params, frozen, batch,
+                                                rng)
+                updates, opt_state = self.tx.update(grads, opt_state,
+                                                    refine_params)
+                refine_params = optax.apply_updates(refine_params, updates)
+                return refine_params, opt_state, losses
+
+            self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._build_infer()
 
         self.log_path = os.path.join(cfg.log_dir, cfg.model_name + "_refine")
@@ -104,9 +142,20 @@ class Refiner:
 
         db = device_batch(batch)
         self.rng, key = jax.random.split(self.rng)
-        self.refine_params, self.opt_state, losses = self.train_step(
-            self.refine_params, self.opt_state, self.frozen_variables, db,
-            key)
+        if self.cfg.train_entire_net:
+            s1_params = {k: v["params"]
+                         for k, v in self.frozen_variables.items()}
+            (self.refine_params, s1_params, self.opt_state,
+             losses) = self.train_step(self.refine_params, s1_params,
+                                       self.opt_state, db, key)
+            self.frozen_variables = {
+                k: ({"params": p, "batch_stats": self._s1_stats[k]}
+                    if self._s1_stats[k] else {"params": p})
+                for k, p in s1_params.items()}
+        else:
+            self.refine_params, self.opt_state, losses = self.train_step(
+                self.refine_params, self.opt_state, self.frozen_variables,
+                db, key)
         self.step += 1
         return losses
 
@@ -163,9 +212,13 @@ class Refiner:
         path = os.path.abspath(os.path.join(
             self.cfg.log_dir, self.cfg.model_name + "_refine", "models",
             f"weights_{tag}"))
+        bundle = {"refine_params": self.refine_params,
+                  "opt_state": self.opt_state}
+        if self.cfg.train_entire_net:
+            # the fine-tuned stage-1 weights are part of the result
+            bundle["stage1_variables"] = self.frozen_variables
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"refine_params": self.refine_params,
-                          "opt_state": self.opt_state}, force=True)
+        ckptr.save(path, bundle, force=True)
         ckptr.wait_until_finished()
         return path
 
@@ -173,9 +226,12 @@ class Refiner:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(
-            os.path.abspath(path),
-            {"refine_params": self.refine_params,
-             "opt_state": self.opt_state})
+        tmpl = {"refine_params": self.refine_params,
+                "opt_state": self.opt_state}
+        if self.cfg.train_entire_net:
+            tmpl["stage1_variables"] = self.frozen_variables
+        restored = ckptr.restore(os.path.abspath(path), tmpl)
         self.refine_params = restored["refine_params"]
         self.opt_state = restored["opt_state"]
+        if self.cfg.train_entire_net:
+            self.frozen_variables = restored["stage1_variables"]

@@ -24,7 +24,14 @@ def main():
         cfg.data_path,
         readlines(os.path.join(split_dir, "eigen", "test_files.txt")),
         cfg.height, cfg.width, [0], is_train=False, img_ext=ext, cfg=cfg)
-    Refiner(cfg, train, val).train()
+    if cfg.refine_shallow or cfg.refineUnet or cfg.refine_deep:
+        # sparse-3D refinement family (reference options.py:259-267 declares
+        # the selectors; the nets live in models/refine_net3d.py)
+        from fusiondepth_tpu.training.refiner3d import Refiner3D
+
+        Refiner3D(cfg, train, val).train()
+    else:
+        Refiner(cfg, train, val).train()
 
 
 if __name__ == "__main__":
