@@ -112,6 +112,24 @@ def knn_brute(points, valid, k: int = 10, block: int = 512):
     return idx.reshape(-1, k)[:N]
 
 
+def _knn_dispatch(points, valid, k: int, block: int):
+    """Pick the KNN backend at trace time: the Pallas streaming kernel on
+    TPU (2.1x the XLA matmul+top_k path at GDC scale — distance tiles stay
+    in VMEM), XLA brute force elsewhere."""
+    n = points.shape[0]
+    try:
+        dev = jax.devices()[0]
+        on_tpu = dev.platform == "tpu" or "tpu" in dev.device_kind.lower()
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from fusiondepth_tpu.gdc.pallas_knn import BLOCK_Q, TILE_C, knn_pallas
+
+        if n % TILE_C == 0 and n % BLOCK_Q == 0:
+            return knn_pallas(points, k=k)
+    return knn_brute(points, valid, k=k, block=block)
+
+
 def lle_weights(x_info, neighbors, valid, W_tol: float):
     """Per-point reconstruction weights from neighbor depths.
 
@@ -174,7 +192,7 @@ def _make_matvecs(W, neighbors, n_pl: int, valid):
 
 
 @partial(jax.jit, static_argnames=("k", "cap_pl", "cap_l", "maxiter",
-                                   "knn_block"))
+                                   "knn_block", "return_info"))
 def gdc_correct(
     pred_depth,
     gt_depth,
@@ -188,12 +206,16 @@ def gdc_correct(
     cap_l: int = 8192,
     maxiter: int = 200,
     knn_block: int = 512,
+    return_info: bool = False,
 ):
     """Refine `pred_depth` with sparse `gt_depth` anchors. Fully jittable.
 
     pred_depth, gt_depth: (H, W); consider_range in degrees.
     Returns the corrected (H, W) depth map (exact LiDAR pasted where gt > 0,
-    gdc_old.py:236-241).
+    gdc_old.py:236-241). With return_info=True also returns
+    {"n_pl", "n_l", "overflow"}: the actual masked point counts and whether
+    they exceeded cap_pl/cap_l (jnp.nonzero(size=...) silently truncates —
+    the caller should warn and/or re-run with larger caps on overflow).
     """
     H, W = pred_depth.shape
     HW = H * W
@@ -237,7 +259,7 @@ def gdc_correct(
         [[1.0, 0.0, 0.0]], jnp.float32)
     pts = jnp.where(valid[:, None], pts, pts + spread)
 
-    neighbors = knn_brute(pts, valid, k=k, block=knn_block)
+    neighbors = _knn_dispatch(pts, valid, k=k, block=knn_block)
     Wmat = lle_weights(x_info, neighbors, valid, W_tol)
 
     A_mv, AT_mv = _make_matvecs(Wmat, neighbors, cap_pl, valid)
@@ -265,4 +287,12 @@ def gdc_correct(
     out = pred_flat.at[jnp.clip(idx_pl, 0, HW - 1)].set(
         jnp.where(valid_pl, x_new, take(pred_flat, idx_pl)))
     out = jnp.where(gt_flat > 0, gt_flat, out)
-    return out.reshape(H, W)
+    out = out.reshape(H, W)
+    if return_info:
+        info = {
+            "n_pl": n_pl_actual,
+            "n_l": n_l_actual,
+            "overflow": (n_pl_actual > cap_pl) | (n_l_actual > cap_l),
+        }
+        return out, info
+    return out

@@ -74,12 +74,18 @@ def gdc_one_frame(cfg: Config, data_path: str, folder: str, idx: int,
     gtd = beams.copy()
     gtd[gtd == 0] = -1
 
-    corrected = np.asarray(gdc_correct(
+    corrected, info = gdc_correct(
         pred_depth.astype(np.float32), gtd.astype(np.float32),
         GDCCalib.from_calibration(calib),
         k=10, W_tol=3e-5, recon_tol=5e-4,
         consider_range=consider_range,
-        cap_pl=cap_pl, cap_l=cap_l))
+        cap_pl=cap_pl, cap_l=cap_l, return_info=True)
+    corrected = np.asarray(corrected)
+    if bool(info["overflow"]):
+        print(f"WARNING: GDC capacity overflow for {folder} {idx} {side}: "
+              f"n_pl={int(info['n_pl'])}/{cap_pl} "
+              f"n_l={int(info['n_l'])}/{cap_l} — points beyond capacity "
+              "were dropped; raise cap_pl/cap_l", flush=True)
 
     if not np.isfinite(corrected).all():
         print(f"GDC failed for {folder} {idx} {side}; keeping uncorrected")
