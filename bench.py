@@ -17,6 +17,15 @@ vs_baseline compares against an A100 PyTorch stand-in: the reference never
 published throughput (trainer.py:632-642 prints it live); ~350 samples/s
 for monodepth2-class R18 640x192 batch-12 training is deliberately generous
 to the baseline.
+
+MEASUREMENT MODEL (this box reaches the TPU through a network tunnel):
+`jax.block_until_ready` is a NO-OP on the axon backend — it returns in
+~0.1 ms while execution is still in flight, so timing loops that "sync"
+with it measure DISPATCH rate, not the hardware (round-1 numbers had this
+hole). The only true sync is fetching a value. Every timed region here
+therefore (a) folds many steps into ONE jitted lax.scan so a single scalar
+fetch covers S real steps, and (b) subtracts the measured scalar round-trip
+latency (~35 ms through the tunnel).
 """
 
 from __future__ import annotations
@@ -33,24 +42,117 @@ A100_BASELINE_SAMPLES_PER_SEC = 350.0
 
 WARMUP = 3
 ITERS = 10
+SCAN_STEPS = 20  # training steps folded into one jit per timed call
+
+# bf16 peak TFLOP/s per chip, by device_kind substring (public specs)
+PEAK_TFLOPS_BF16 = {
+    "v2": 45.0,
+    "v3": 123.0,
+    "v4": 275.0,
+    "v5 lite": 197.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6 lite": 918.0,
+    "v6e": 918.0,
+}
+
+
+def device_peak_tflops():
+    """(peak bf16 TFLOP/s or None, device_kind string) for devices()[0]."""
+    kind = jax.devices()[0].device_kind
+    for key, peak in PEAK_TFLOPS_BF16.items():
+        if key in kind.lower():
+            return peak, kind
+    return None, kind
+
+
+def compiled_flops(jitted, *args):
+    """Per-execution FLOPs from XLA's compiled cost analysis (0 if the
+    backend doesn't report them)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0) or 0.0)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return 0.0
+
+
+def flops_fields(flops_per_step: float, dt: float):
+    """FLOPs-grounded throughput fields for the bench JSON."""
+    peak, kind = device_peak_tflops()
+    tflops = flops_per_step / dt / 1e12 if flops_per_step else 0.0
+    out = {
+        "device_kind": kind,
+        "flops_per_step": round(flops_per_step, 0),
+        "tflops": round(tflops, 2),
+    }
+    if peak:
+        out["peak_tflops_bf16"] = peak
+        out["mfu"] = round(tflops / peak, 4)
+    return out
+
+
+_latency_cache = [None]
+
+
+def tunnel_latency() -> float:
+    """Median scalar round-trip through the tunnel (a true sync)."""
+    if _latency_cache[0] is None:
+        f = jax.jit(jnp.sin)
+        x = jnp.float32(1.0)
+        float(f(x))
+        samples = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            float(f(x))
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        _latency_cache[0] = samples[len(samples) // 2]
+        print(f"tunnel scalar roundtrip: {_latency_cache[0] * 1e3:.1f} ms",
+              file=sys.stderr)
+    return _latency_cache[0]
 
 
 def _timeit(fn, iters=ITERS, warmup=WARMUP, trials=3):
-    """Best-of-N trials: this box reaches the TPU through a shared network
-    tunnel with multi-ms latency jitter; the fastest trial reflects the
-    hardware, the slower ones reflect the tunnel."""
-    out = None
+    """Time fn per call with a TRUE sync: fn must return a scalar-ish
+    device value which is fetched with float() (block_until_ready is a
+    no-op on this backend — see module docstring). Best-of-N trials against
+    tunnel jitter; the measured round-trip latency is subtracted per call.
+    """
     for _ in range(warmup):
-        out = fn()
-    jax.block_until_ready(out)
+        float(jnp.asarray(fn()).ravel()[0])
+    lat = tunnel_latency()
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+            float(jnp.asarray(fn()).ravel()[0])
+        dt = (time.perf_counter() - t0) / iters
+        best = min(best, max(dt - lat, 1e-9))
     return best
+
+
+def make_scan_step(cfg, nets, tx, n_inner: int):
+    """S chained training steps inside ONE jit: a lax.scan over the step,
+    returning the last step's loss. One scalar fetch then syncs S real
+    device steps — the per-step cost is (call_time - latency) / S."""
+    from fusiondepth_tpu.training.train_state import make_train_step
+
+    step = make_train_step(cfg, nets, tx)
+
+    def multi(state, batch, rng):
+        keys = jax.random.split(rng, n_inner)
+
+        def body(st, k):
+            st, losses = step(st, batch, k)
+            return st, losses["loss"]
+
+        state, losses = jax.lax.scan(body, state, keys)
+        return state, losses[-1]
+
+    return multi
 
 
 def bench_train(cfg_kwargs, metric, batch):
@@ -60,7 +162,6 @@ def bench_train(cfg_kwargs, metric, batch):
     from fusiondepth_tpu.training.train_state import (
         create_train_state,
         make_optimizer,
-        make_train_step,
     )
 
     cfg = Config(batch_size=batch, **cfg_kwargs)
@@ -68,20 +169,30 @@ def bench_train(cfg_kwargs, metric, batch):
     tx = make_optimizer(cfg, steps_per_epoch=1000)
     state = create_train_state(cfg, nets, jax.random.PRNGKey(0), tx)
     data = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=batch))
-    step = jax.jit(make_train_step(cfg, nets, tx), donate_argnums=0)
+
+    S = SCAN_STEPS
+    multi = jax.jit(make_scan_step(cfg, nets, tx, S), donate_argnums=0)
+    # XLA's cost analysis counts a while-loop body ONCE, so the scan
+    # program's flops == one training step's flops (verified: lowering the
+    # single step and the S-step scan report the same count)
+    flops = compiled_flops(multi, state, data, jax.random.PRNGKey(1))
 
     holder = {"state": state, "rng": jax.random.PRNGKey(1)}
 
     def run():
         holder["rng"], k = jax.random.split(holder["rng"])
-        holder["state"], losses = step(holder["state"], data, k)
-        return losses["loss"]
+        holder["state"], last_loss = multi(holder["state"], data, k)
+        return last_loss
 
-    dt = _timeit(run)
+    dt_call = _timeit(run, iters=1, warmup=2, trials=3)
+    dt = dt_call / S
     sps = batch / dt
-    return cfg, nets, holder["state"], data, {
+    result = {
         "metric": metric, "value": round(sps, 2), "unit": "samples/s",
-        "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3)}
+        "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
+        "scan_steps": S}
+    result.update(flops_fields(flops, dt))
+    return cfg, nets, holder["state"], data, result
 
 
 def bench_inference(cfg_kwargs, metric, batch=1):
@@ -100,9 +211,22 @@ def bench_inference(cfg_kwargs, metric, batch=1):
     state = create_train_state(cfg, nets, jax.random.PRNGKey(0), tx)
     variables = combine_variables(state.params, state.batch_stats)
     data = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=batch))
-    infer = jax.jit(lambda v, b: nets.forward_depth(
-        v, b, train=False)[0][("disp", 0)])
-    dt = _timeit(lambda: infer(variables, data), iters=50)
+
+    S = 50  # forwards per jit; the carry feeds the input so XLA cannot
+    # hoist the loop-invariant forward out of the scan
+
+    def multi(v, b):
+        def body(carry, _):
+            bb = dict(b)
+            bb["color_aug"] = b["color_aug"] + carry * jnp.float32(1e-30)
+            disp = nets.forward_depth(v, bb, train=False)[0][("disp", 0)]
+            return disp.mean().astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=S)
+        return out
+
+    infer = jax.jit(multi)
+    dt = _timeit(lambda: infer(variables, data), iters=1) / S
     fps = batch / dt
     return {"metric": metric, "value": round(fps, 1), "unit": "fps",
             "vs_baseline": round(fps / 30.0, 2)}  # "real-time" = 30 fps
@@ -133,9 +257,57 @@ def bench_refiner(cfg_kwargs, batch=4):
             "unit": "samples/s", "vs_baseline": round(sps / 100.0, 3)}
 
 
+def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
+    """END-TO-END training throughput from an on-disk synthetic KITTI tree:
+    jpeg decode + LANCZOS resize + velodyne projection + 2channel load in
+    DataLoader worker threads feeding the jitted train step. This is the
+    number that includes the host input pipeline (the synthetic-batch
+    configs measure the device alone)."""
+    import tempfile
+
+    from fusiondepth_tpu.config import Config
+    from fusiondepth_tpu.data.fixtures import DRIVE, build_synthetic_kitti_tree
+    from fusiondepth_tpu.data.kitti_dataset import KITTIRAWDataset
+    from fusiondepth_tpu.data.loader import DataLoader
+    from fusiondepth_tpu.training.trainer import Trainer
+
+    cfg = Config(batch_size=batch, **cfg_kwargs)
+    root = tempfile.mkdtemp(prefix="bench_kitti_")
+    build_synthetic_kitti_tree(root, n_frames=n_frames, height=cfg.height,
+                               width=cfg.width)
+    lines = [f"{DRIVE} {i} l" for i in range(1, n_frames - 1)]
+    ds = KITTIRAWDataset(root, lines, cfg.height, cfg.width, cfg.frame_ids,
+                         is_train=True, cfg=cfg)
+    cfg = cfg.replace(data_path=root)
+    tr = Trainer(cfg, train_dataset=ds, val_dataset=None)
+
+    def epoch():
+        n = 0
+        loader = DataLoader(ds, batch, shuffle=True, drop_last=True,
+                            num_workers=cfg.num_workers)
+        for b in loader:
+            losses = tr.run_step(b)
+            # true sync per step (block_until_ready is a no-op here)
+            float(losses["loss"])
+            n += batch
+        return n
+
+    epoch()  # warmup (compile)
+    t0 = time.perf_counter()
+    total = sum(epoch() for _ in range(epochs))
+    dt = time.perf_counter() - t0
+    sps = total / dt
+    return {"metric": f"hostfed_train_samples_per_sec_r{cfg.num_layers}_"
+                      f"{cfg.width}x{cfg.height}_b{batch}",
+            "value": round(sps, 2), "unit": "samples/s",
+            "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
+            "num_workers": cfg.num_workers}
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", type=int, default=3, choices=[1, 2, 3, 4, 5])
+    p.add_argument("--config", type=int, default=3,
+                   choices=[1, 2, 3, 4, 5, 6])
     args = p.parse_args()
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -157,6 +329,8 @@ def main():
         # config-5 baseline: A100 PyTorch full-res completion ~50 samples/s
         result["vs_baseline"] = round(
             result["value"] / 50.0, 3)
+    elif args.config == 6:
+        result = bench_host_fed(base)
     else:
         cfg, nets, state, data, result = bench_train(
             base, "train_samples_per_sec_r18_640x192_b12", batch=12)

@@ -8,9 +8,13 @@
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
+import jax
 import jax.numpy as jnp
 
-from fusiondepth_tpu.ops.sampling import grid_sample
+_HI = jax.lax.Precision.HIGHEST
 
 
 def upsample2x_nearest(x):
@@ -19,25 +23,33 @@ def upsample2x_nearest(x):
     return jnp.repeat(x, 2, axis=2)
 
 
+@lru_cache(maxsize=64)
+def _interp_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) bilinear interpolation weights, torch align_corners=False
+    semantics: source coord = (i + 0.5) * src/dst - 0.5, clamped."""
+    x = (np.arange(dst, dtype=np.float64) + 0.5) * (src / dst) - 0.5
+    x = np.clip(x, 0.0, src - 1.0)
+    x0 = np.clip(np.floor(x), 0, max(src - 2, 0)).astype(np.int64)
+    w = x - x0
+    M = np.zeros((dst, src), np.float32)
+    M[np.arange(dst), x0] = 1.0 - w
+    M[np.arange(dst), np.minimum(x0 + 1, src - 1)] += w
+    return M
+
+
 def resize_bilinear(img, height: int, width: int):
     """Bilinear resize of (B, H, W, C) to (B, height, width, C).
 
-    Matches torch bilinear align_corners=False without antialiasing: the
-    output pixel (i, j) samples the source at half-pixel-aligned coordinates
-    clamped at the border — exactly our border-mode grid_sample, so we reuse
-    it (and XLA fuses the shared gather machinery).
+    Matches torch bilinear align_corners=False without antialiasing.
+    Static sampling coordinates -> two separable contractions against
+    constant interpolation matrices (MXU matmuls). An earlier formulation
+    reused the gather-based grid_sample; TPU gathers are row-granular and
+    cost ~10 ms per full-res call, while these matmuls are ~free.
     """
     B, H, W, C = img.shape
     if (H, W) == (height, width):
         return img
-    # torch: src = (dst + 0.5) * scale - 0.5, clamped to the valid range
-    # grid_sample unnormalizes g -> ((g+1)*size-1)/2, so g = (2*src+1)/size - 1
-    xs = ((jnp.arange(width, dtype=jnp.float32) + 0.5) * (W / width) - 0.5)
-    ys = ((jnp.arange(height, dtype=jnp.float32) + 0.5) * (H / height) - 0.5)
-    gx = (2.0 * xs + 1.0) / W - 1.0
-    gy = (2.0 * ys + 1.0) / H - 1.0
-    gxx, gyy = jnp.meshgrid(gx, gy, indexing="xy")
-    grid = jnp.broadcast_to(
-        jnp.stack([gxx, gyy], axis=-1)[None], (B, height, width, 2)
-    )
-    return grid_sample(img, grid)
+    My = jnp.asarray(_interp_matrix(H, height), img.dtype)  # (h, H)
+    Mx = jnp.asarray(_interp_matrix(W, width), img.dtype)  # (w, W)
+    out = jnp.einsum("hH,bHWc->bhWc", My, img, precision=_HI)
+    return jnp.einsum("wW,bhWc->bhwc", Mx, out, precision=_HI)

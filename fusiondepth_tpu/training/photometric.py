@@ -36,6 +36,14 @@ def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
     fid_index = {f: i for i, f in enumerate(cfg.frame_ids)}
     H, W = cfg.height, cfg.width
 
+    # at full-res warping (v1_multiscale off) every (scale, frame) warp
+    # shares the same output size and source set: defer them and run ONE
+    # fused gather (ops.sampling.grid_sample_multi)
+    fuse_warps = not cfg.v1_multiscale
+    pending = []  # (f_i, scale, source_position, pix_coords)
+    src_frames = [f for f in frame_ids[1:]]
+    src_pos = {f: i for i, f in enumerate(src_frames)}
+
     for scale in cfg.scales:
         disp = outputs[("disp", scale)]
         if cfg.v1_multiscale:
@@ -72,12 +80,21 @@ def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
             cam_points = backproject_depth(depth, inv_K)
             pix_coords = project_3d(cam_points, K, T)
             outputs[("sample", f_i, scale)] = pix_coords
-            if cfg.v1_multiscale:
+            if fuse_warps:
+                pending.append((f_i, scale, src_pos[f_i], pix_coords))
+            else:
                 src = _frame_at_scale(cfg, batch, fid_index[f_i],
                                       source_scale)
-            else:
-                src = batch["color"][:, fid_index[f_i]]
-            outputs[("color", f_i, scale)] = grid_sample(src, pix_coords)
+                outputs[("color", f_i, scale)] = grid_sample(src, pix_coords)
+
+    if fuse_warps and pending:
+        from fusiondepth_tpu.ops.sampling import grid_sample_multi
+
+        sources = [batch["color"][:, fid_index[f]] for f in src_frames]
+        sampled = grid_sample_multi(
+            sources, [(pos, pix) for _, _, pos, pix in pending])
+        for (f_i, scale, _, _), out in zip(pending, sampled):
+            outputs[("color", f_i, scale)] = out
 
     return outputs
 
@@ -107,6 +124,20 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
 
     source_frames = [f for f in cfg.frame_ids[1:]]
 
+    # identity reprojection is scale-INVARIANT when warping at full res
+    # (source_scale==0 for every scale, reference trainer.py:515-528):
+    # hoist the expensive SSIM/L1 out of the scale loop; only the random
+    # tie-break noise is drawn fresh per scale (trainer.py:549-551)
+    identity_base = None
+    if not cfg.disable_automasking and not cfg.v1_multiscale:
+        target0 = batch["color"][:, 0]
+        identity_base = jnp.concatenate(
+            [reprojection_loss(batch["color"][:, fid_index[f]], target0,
+                               use_ssim=not cfg.no_ssim)
+             for f in source_frames],
+            axis=-1,
+        )
+
     for scale in cfg.scales:
         loss = 0.0
         source_scale = scale if cfg.v1_multiscale else 0
@@ -132,12 +163,15 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
         )  # (B, H, W, n_src)
 
         if not cfg.disable_automasking:
-            identity = jnp.concatenate(
-                [reprojection_loss(_src(f), target,
-                                   use_ssim=not cfg.no_ssim)
-                 for f in source_frames],
-                axis=-1,
-            )
+            if identity_base is not None:
+                identity = identity_base
+            else:
+                identity = jnp.concatenate(
+                    [reprojection_loss(_src(f), target,
+                                       use_ssim=not cfg.no_ssim)
+                     for f in source_frames],
+                    axis=-1,
+                )
             if cfg.avg_reprojection:
                 identity = identity.mean(axis=-1, keepdims=True)
             # random tie-break noise (reference trainer.py:549-551)
