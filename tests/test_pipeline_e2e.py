@@ -10,7 +10,6 @@ import os
 
 import numpy as np
 import pytest
-from PIL import Image
 
 from fusiondepth_tpu.config import Config
 
@@ -22,62 +21,10 @@ DRIVE = "2011_09_26/2011_09_26_drive_0001_sync"
 def kitti_tree(tmp_path_factory):
     """3-frame synthetic KITTI drive: calib, images, velodyne, 4beam bins,
     2channel caches (at the test resolution)."""
-    from fusiondepth_tpu.data.kitti_io import load_velodyne_points
-    from fusiondepth_tpu.data.sparsify import sparsify_beams
-    from fusiondepth_tpu.data.two_channel import (
-        expand_two_channel,
-        max_pool2,
-    )
-    from fusiondepth_tpu.data.kitti_io import generate_depth_map
+    from fusiondepth_tpu.data.fixtures import build_synthetic_kitti_tree
 
-    root = str(tmp_path_factory.mktemp("kitti"))
-    date = DRIVE.split("/")[0]
-    os.makedirs(f"{root}/{DRIVE}/velodyne_points/data")
-    os.makedirs(f"{root}/{DRIVE}/image_02/data")
-    os.makedirs(f"{root}/{DRIVE}/4beam")
-    os.makedirs(f"{root}/{DRIVE}/2channel")
-
-    with open(f"{root}/{date}/calib_cam_to_cam.txt", "w") as f:
-        f.write("S_rect_02: 1242 375\n"
-                "R_rect_00: 1 0 0 0 1 0 0 0 1\n"
-                "P_rect_02: 721.5 0 609.6 44.9 0 721.5 172.9 0.2 "
-                "0 0 1 0.003\n"
-                "P_rect_03: 721.5 0 609.6 -339.5 0 721.5 172.9 2.2 "
-                "0 0 1 0.003\n")
-    with open(f"{root}/{date}/calib_velo_to_cam.txt", "w") as f:
-        f.write("R: 0 -1 0 0 0 -1 1 0 0\nT: 0 0 0\n")
-
-    rng = np.random.default_rng(0)
-    for i in range(3):
-        img = rng.uniform(0, 255, (375, 1242, 3)).astype(np.uint8)
-        Image.fromarray(img).save(
-            f"{root}/{DRIVE}/image_02/data/{i:010d}.jpg")
-        n = 30000
-        x = rng.uniform(2, 80, n)
-        y = rng.uniform(-30, 30, n)
-        z = np.full(n, -1.7) + rng.normal(0, 0.02, n)
-        pts = np.stack([x, y, z, np.ones(n)], 1).astype(np.float32)
-        wall = np.stack([np.full(4000, 25.0), rng.uniform(-10, 10, 4000),
-                         rng.uniform(-1.5, 1.4, 4000), np.ones(4000)],
-                        1).astype(np.float32)
-        velo = np.concatenate([pts, wall])
-        velo.tofile(f"{root}/{DRIVE}/velodyne_points/data/{i:010d}.bin")
-
-        sparse = sparsify_beams(velo, nbeams=4)
-        sparse.tofile(f"{root}/{DRIVE}/4beam/{i:010d}.bin")
-
-        # 2channel cache at the test resolution (projection at 2x then pool)
-        for flip in (False, True):
-            d = generate_depth_map(f"{root}/{date}",
-                                   f"{root}/{DRIVE}/4beam/{i:010d}.bin",
-                                   2, shape=(2 * H, 2 * W))
-            d = max_pool2(d)
-            if flip:
-                d = np.fliplr(d)
-            two = expand_two_channel(d, row_range=(0, H), col_range=(0, W))
-            np.save(f"{root}/{DRIVE}/2channel/{i}_l_{flip}.npy",
-                    two.astype(np.float32))
-    return root
+    return build_synthetic_kitti_tree(
+        str(tmp_path_factory.mktemp("kitti")), n_frames=3, height=H, width=W)
 
 
 @pytest.fixture(scope="module")
