@@ -312,7 +312,10 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dt = "bfloat16" if on_tpu else "float32"
-    base = dict(num_layers=18, height=192, width=640, compute_dtype=dt)
+    # pallas_warp: the banded-window Pallas reprojection kernel (8.6x the
+    # gather path incl. backward on v5e; see ops/pallas_warp.py)
+    base = dict(num_layers=18, height=192, width=640, compute_dtype=dt,
+                pallas_warp=on_tpu)
 
     if args.config == 1:
         result = bench_inference(base, "forward_fps_r18_640x192_b1")

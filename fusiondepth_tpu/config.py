@@ -156,6 +156,11 @@ class Config:
     mesh_shape: Tuple[int, ...] = ()  # () = all devices on one data axis
     grad_accum_steps: int = 1  # lax.scan microbatching
     remat: bool = False  # jax.checkpoint the forward (memory for 352x1216)
+    # Pallas banded-window warp kernel for the reprojection warps (MXU
+    # one-hot contractions instead of hardware gathers; exact horizontally,
+    # vertical window WH=64 rows per 16-row block — see ops/pallas_warp.py
+    # for the exactness domain). TPU only; gradients flow to coordinates.
+    pallas_warp: bool = False
 
     # ---- derived helpers ----
     @property

@@ -88,11 +88,24 @@ def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
                 outputs[("color", f_i, scale)] = grid_sample(src, pix_coords)
 
     if fuse_warps and pending:
-        from fusiondepth_tpu.ops.sampling import grid_sample_multi
-
         sources = [batch["color"][:, fid_index[f]] for f in src_frames]
-        sampled = grid_sample_multi(
-            sources, [(pos, pix) for _, _, pos, pix in pending])
+        warp_list = [(pos, pix) for _, _, pos, pix in pending]
+        if cfg.pallas_warp and H % 16 == 0 and H >= 64:
+            from fusiondepth_tpu.ops.pallas_warp import warp_bilinear_banded
+
+            # bf16 training already rounds colors through the MXU, so the
+            # default fast matmul precision is numerically consistent
+            # (max diff vs exact ~4e-3 on [0,1] colors, 8.6x faster incl.
+            # backward); f32 training keeps HIGHEST (exact, 2e-7)
+            prec = (jax.lax.Precision.DEFAULT
+                    if cfg.compute_dtype == "bfloat16"
+                    else jax.lax.Precision.HIGHEST)
+            sampled = warp_bilinear_banded(sources, warp_list,
+                                           precision=prec)
+        else:
+            from fusiondepth_tpu.ops.sampling import grid_sample_multi
+
+            sampled = grid_sample_multi(sources, warp_list)
         for (f_i, scale, _, _), out in zip(pending, sampled):
             outputs[("color", f_i, scale)] = out
 
