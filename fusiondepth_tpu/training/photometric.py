@@ -151,6 +151,21 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
             axis=-1,
         )
 
+    # ALL warped reprojection losses in one stacked SSIM+L1 call: 8
+    # separate per-(scale, frame) instances cost ~13 ms each in the
+    # backward; one (n*B)-batch call fuses them
+    stacked_reproj = None
+    if not cfg.v1_multiscale:
+        target0 = batch["color"][:, 0]
+        preds = [outputs[("color", f, s)] for s in cfg.scales
+                 for f in source_frames]
+        big = jnp.concatenate(preds, axis=0)
+        tgt = jnp.tile(target0, (len(preds), 1, 1, 1))
+        rl = reprojection_loss(big, tgt, use_ssim=not cfg.no_ssim)
+        B0 = target0.shape[0]
+        stacked_reproj = rl.reshape(len(cfg.scales), len(source_frames),
+                                    B0, H, W, 1)
+
     for scale in cfg.scales:
         loss = 0.0
         source_scale = scale if cfg.v1_multiscale else 0
@@ -168,12 +183,20 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
                                        source_scale)
             return batch["color"][:, fid_index[f]]
 
-        reproj = jnp.concatenate(
-            [reprojection_loss(outputs[("color", f, scale)], target,
-                               use_ssim=not cfg.no_ssim)
-             for f in source_frames],
-            axis=-1,
-        )  # (B, H, W, n_src)
+        if stacked_reproj is not None:
+            si_ = list(cfg.scales).index(scale)
+            reproj = jnp.concatenate(
+                [stacked_reproj[si_, fi]
+                 for fi in range(len(source_frames))],
+                axis=-1,
+            )  # (B, H, W, n_src)
+        else:
+            reproj = jnp.concatenate(
+                [reprojection_loss(outputs[("color", f, scale)], target,
+                                   use_ssim=not cfg.no_ssim)
+                 for f in source_frames],
+                axis=-1,
+            )
 
         if not cfg.disable_automasking:
             if identity_base is not None:
