@@ -90,7 +90,10 @@ def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
     if fuse_warps and pending:
         sources = [batch["color"][:, fid_index[f]] for f in src_frames]
         warp_list = [(pos, pix) for _, _, pos, pix in pending]
-        if cfg.pallas_warp and H % 16 == 0 and H >= 64:
+        if (cfg.pallas_warp and H % 16 == 0 and H >= 64
+                and jax.device_count() == 1):
+            # single-device only for now: under a GSPMD mesh the kernel
+            # would need a shard_map wrapper (the XLA fallback shards fine)
             from fusiondepth_tpu.ops.pallas_warp import warp_bilinear_banded
 
             # bf16 training already rounds colors through the MXU, so the
