@@ -144,8 +144,14 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
     # (source_scale==0 for every scale, reference trainer.py:515-528):
     # hoist the expensive SSIM/L1 out of the scale loop; only the random
     # tie-break noise is drawn fresh per scale (trainer.py:549-551)
+    # single-device only: under a GSPMD mesh the cross-scale concats force
+    # inefficient reshards ("[SPMD] Involuntary full rematerialization");
+    # the per-scale formulation shards cleanly on the batch axis
+    fuse_loss = jax.device_count() == 1
+
     identity_base = None
-    if not cfg.disable_automasking and not cfg.v1_multiscale:
+    if (not cfg.disable_automasking and not cfg.v1_multiscale
+            and fuse_loss):
         target0 = batch["color"][:, 0]
         identity_base = jnp.concatenate(
             [reprojection_loss(batch["color"][:, fid_index[f]], target0,
@@ -158,7 +164,7 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
     # separate per-(scale, frame) instances cost ~13 ms each in the
     # backward; one (n*B)-batch call fuses them
     stacked_reproj = None
-    if not cfg.v1_multiscale:
+    if not cfg.v1_multiscale and fuse_loss:
         target0 = batch["color"][:, 0]
         preds = [outputs[("color", f, s)] for s in cfg.scales
                  for f in source_frames]
