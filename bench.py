@@ -56,6 +56,18 @@ PEAK_TFLOPS_BF16 = {
     "v6e": 918.0,
 }
 
+# HBM bandwidth GB/s per chip (public specs) for the roofline bound
+PEAK_HBM_GBPS = {
+    "v2": 700.0,
+    "v3": 900.0,
+    "v4": 1228.0,
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v6 lite": 1640.0,
+    "v6e": 1640.0,
+}
+
 
 def device_peak_tflops():
     """(peak bf16 TFLOP/s or None, device_kind string) for devices()[0]."""
@@ -66,21 +78,31 @@ def device_peak_tflops():
     return None, kind
 
 
-def compiled_flops(jitted, *args):
-    """Per-execution FLOPs from XLA's compiled cost analysis (0 if the
-    backend doesn't report them)."""
+def compiled_costs(jitted, *args):
+    """(flops, bytes_accessed) per execution from XLA's compiled cost
+    analysis (0 if the backend doesn't report them)."""
     try:
         ca = jitted.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
-        return float(ca.get("flops", 0.0) or 0.0)
+        return (float(ca.get("flops", 0.0) or 0.0),
+                float(ca.get("bytes accessed", 0.0) or 0.0))
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-        return 0.0
+        return 0.0, 0.0
 
 
-def flops_fields(flops_per_step: float, dt: float):
-    """FLOPs-grounded throughput fields for the bench JSON."""
+def compiled_flops(jitted, *args):
+    return compiled_costs(jitted, *args)[0]
+
+
+def flops_fields(flops_per_step: float, dt: float, bytes_per_step: float = 0.0):
+    """FLOPs-grounded throughput + roofline fields for the bench JSON.
+
+    roofline_ms = max(flops/MXU_peak, bytes/HBM_bw): the compiled program's
+    speed-of-light step time; roofline_frac = how close the measured step
+    runs to it (1.0 = at the hardware bound).
+    """
     peak, kind = device_peak_tflops()
     tflops = flops_per_step / dt / 1e12 if flops_per_step else 0.0
     out = {
@@ -91,6 +113,19 @@ def flops_fields(flops_per_step: float, dt: float):
     if peak:
         out["peak_tflops_bf16"] = peak
         out["mfu"] = round(tflops / peak, 4)
+    bw = None
+    for key, gbps in PEAK_HBM_GBPS.items():
+        if key in kind.lower():
+            bw = gbps
+            break
+    if peak and bw and bytes_per_step:
+        out["bytes_per_step"] = round(bytes_per_step, 0)
+        compute_s = flops_per_step / (peak * 1e12)
+        memory_s = bytes_per_step / (bw * 1e9)
+        roofline_s = max(compute_s, memory_s)
+        out["roofline_ms"] = round(roofline_s * 1e3, 2)
+        out["roofline_frac"] = round(roofline_s / dt, 3)
+        out["roofline_bound"] = ("hbm" if memory_s > compute_s else "mxu")
     return out
 
 
@@ -115,23 +150,34 @@ def tunnel_latency() -> float:
     return _latency_cache[0]
 
 
-def _timeit(fn, iters=ITERS, warmup=WARMUP, trials=3):
+def _timeit_stats(fn, iters=ITERS, warmup=WARMUP, trials=5):
     """Time fn per call with a TRUE sync: fn must return a scalar-ish
     device value which is fetched with float() (block_until_ready is a
-    no-op on this backend — see module docstring). Best-of-N trials against
-    tunnel jitter; the measured round-trip latency is subtracted per call.
+    no-op on this backend — see module docstring). Reports MEDIAN over N
+    trials with min/max dispersion (tunnel jitter); the measured scalar
+    round-trip latency is subtracted per call.
     """
     for _ in range(warmup):
         float(jnp.asarray(fn()).ravel()[0])
     lat = tunnel_latency()
-    best = float("inf")
+    samples = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
             float(jnp.asarray(fn()).ravel()[0])
         dt = (time.perf_counter() - t0) / iters
-        best = min(best, max(dt - lat, 1e-9))
-    return best
+        samples.append(max(dt - lat, 1e-9))
+    samples.sort()
+    return {
+        "median": samples[len(samples) // 2],
+        "min": samples[0],
+        "max": samples[-1],
+        "trials": trials,
+    }
+
+
+def _timeit(fn, iters=ITERS, warmup=WARMUP, trials=5):
+    return _timeit_stats(fn, iters, warmup, trials)["median"]
 
 
 def make_scan_step(cfg, nets, tx, n_inner: int):
@@ -175,7 +221,7 @@ def bench_train(cfg_kwargs, metric, batch):
     # XLA's cost analysis counts a while-loop body ONCE, so the scan
     # program's flops == one training step's flops (verified: lowering the
     # single step and the S-step scan report the same count)
-    flops = compiled_flops(multi, state, data, jax.random.PRNGKey(1))
+    flops, nbytes = compiled_costs(multi, state, data, jax.random.PRNGKey(1))
 
     holder = {"state": state, "rng": jax.random.PRNGKey(1)}
 
@@ -184,14 +230,22 @@ def bench_train(cfg_kwargs, metric, batch):
         holder["state"], last_loss = multi(holder["state"], data, k)
         return last_loss
 
-    dt_call = _timeit(run, iters=1, warmup=2, trials=3)
-    dt = dt_call / S
+    stats = _timeit_stats(run, iters=1, warmup=2, trials=5)
+    dt = stats["median"] / S
     sps = batch / dt
+    from fusiondepth_tpu.models.pretrained import APPLIED
+
     result = {
         "metric": metric, "value": round(sps, 2), "unit": "samples/s",
         "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
-        "scan_steps": S}
-    result.update(flops_fields(flops, dt))
+        "scan_steps": S, "trials": stats["trials"],
+        "step_ms": {k: round(stats[k] / S * 1e3, 2)
+                    for k in ("median", "min", "max")},
+        # which initialization actually ran (scripts/fetch_pretrained.py
+        # provisions the torchvision checkpoints on offline hosts)
+        "weights_init": ("pretrained" if APPLIED and all(APPLIED.values())
+                         else "random")}
+    result.update(flops_fields(flops, dt, nbytes))
     return cfg, nets, holder["state"], data, result
 
 
@@ -281,15 +335,22 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
     cfg = cfg.replace(data_path=root)
     tr = Trainer(cfg, train_dataset=ds, val_dataset=None)
 
+    from fusiondepth_tpu.data.prefetch import prefetch_to_device
+
     def epoch():
+        """One pipelined epoch: uploads ride ahead of compute, NO per-step
+        sync — the single end-of-epoch loss fetch drains the whole chain
+        (every step depends on the previous state), so the measured time
+        still covers all device work. Round-2 fetched float(loss) every
+        step, paying the ~35 ms tunnel round-trip per step."""
         n = 0
+        last = None
         loader = DataLoader(ds, batch, shuffle=True, drop_last=True,
                             num_workers=cfg.num_workers)
-        for b in loader:
-            losses = tr.run_step(b)
-            # true sync per step (block_until_ready is a no-op here)
-            float(losses["loss"])
+        for db in prefetch_to_device(loader, tr.put_batch, size=2):
+            last = tr.run_step(db, on_device=True)
             n += batch
+        float(last["loss"])  # ONE true sync per epoch
         return n
 
     epoch()  # warmup (compile)

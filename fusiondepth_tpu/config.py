@@ -161,6 +161,12 @@ class Config:
     # vertical window WH=64 rows per 16-row block — see ops/pallas_warp.py
     # for the exactness domain). TPU only; gradients flow to coordinates.
     pallas_warp: bool = False
+    # Multi-host bring-up (SURVEY §5: jax.distributed.initialize + per-host
+    # input sharding; parallel/multihost.py). batch_size stays GLOBAL — each
+    # host loads batch_size / num_processes samples of ITS split slice.
+    coordinator_address: Optional[str] = None  # "host:port" of process 0
+    num_processes: int = 1
+    process_id: int = -1  # -1 = auto-detect (env/TPU metadata)
 
     # ---- derived helpers ----
     @property

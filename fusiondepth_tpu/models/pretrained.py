@@ -46,6 +46,11 @@ def find_checkpoint(depth: int, path: Optional[str] = None) -> Optional[str]:
 
 _warned: set = set()
 
+# last apply_pretrained outcome per encoder name: True = torch weights
+# applied, False = checkpoint missing (kept random). bench.py records this
+# so every benchmark states which init actually ran.
+APPLIED: Dict[str, bool] = {}
+
 
 def _warn_once(key: str, msg: str) -> None:
     import sys
@@ -81,6 +86,7 @@ def apply_pretrained(cfg: Config, nets, variables: Dict[str, Any]
     out = dict(variables)
     for name, depth, in_ch, n_imgs in specs:
         pth = find_checkpoint(depth, cfg.pretrained_weights_path)
+        APPLIED[name] = pth is not None
         if pth is None:
             _warn_once(
                 f"resnet{depth}",

@@ -46,26 +46,15 @@ def grid_sample(img, grid):
     x1 = jnp.minimum(x0 + 1, W - 1)
     y1 = jnp.minimum(y0 + 1, H - 1)
 
-    if jax.device_count() == 1:
-        # ONE flat unbatched gather per corner: folding the batch into the
-        # gathered axis hits a faster TPU lowering than a batched
-        # take_along_axis (measured 6.3 ms vs 10 ms per full-res corner).
-        # Single-device only: merging the sharded batch axis into the
-        # gather axis breaks GSPMD data parallelism.
-        flat = img.reshape(B * H * W, C)
-        boffs = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
+    # batch-dim gather: shards cleanly over the leading (data) axis under
+    # GSPMD — one code path for 1 and N devices. (The photometric hot loop
+    # no longer goes through here; it uses ops/warp.warp_planes.)
+    flat_b = img.reshape(B, H * W, C)
 
-        def gather(yi, xi):
-            idx = (boffs + yi * W + xi).reshape(-1)
-            return jnp.take(flat, idx, axis=0).reshape(B, Ho, Wo, C)
-    else:
-        # batch-dim gather: shards cleanly over the leading (data) axis
-        flat_b = img.reshape(B, H * W, C)
-
-        def gather(yi, xi):
-            idx = (yi * W + xi).reshape(B, Ho * Wo, 1)
-            return jnp.take_along_axis(flat_b, idx,
-                                       axis=1).reshape(B, Ho, Wo, C)
+    def gather(yi, xi):
+        idx = (yi * W + xi).reshape(B, Ho * Wo, 1)
+        return jnp.take_along_axis(flat_b, idx,
+                                   axis=1).reshape(B, Ho, Wo, C)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x1)
@@ -82,64 +71,3 @@ def grid_sample(img, grid):
         + v11.astype(jnp.float32) * wx * wy
     )
     return out.astype(dtype)
-
-
-def grid_sample_multi(sources, warps):
-    """Many border-mode bilinear warps fused into 4 corner gathers.
-
-    TPU gathers are row-granular and dominate the photometric loss (the
-    reprojection warps all 4 scales x 2 source frames at full resolution,
-    reference trainer.py:425-474); folding every warp into one flat index
-    space cuts the gather op count from 4*len(warps) to 4.
-
-    sources: list of (B, H, W, C) images (the distinct source frames).
-    warps: list of (source_index, grid) with grid (B, Ho, Wo, 2) in the
-    grid_sample convention; every warp shares (Ho, Wo).
-    Returns a list of (B, Ho, Wo, C) sampled images, one per warp.
-    """
-    if jax.device_count() > 1:
-        # the flat fused index space merges the sharded batch axis into the
-        # gather axis, which defeats GSPMD data parallelism — fall back to
-        # per-warp batched sampling on meshes
-        return [grid_sample(sources[i], g) for i, g in warps]
-
-    B, H, W, C = sources[0].shape
-    n = len(warps)
-    _, Ho, Wo, _ = warps[0][1].shape
-    dtype = sources[0].dtype
-
-    flat = jnp.concatenate([s.reshape(B * H * W, C) for s in sources], 0)
-    grid = jnp.stack([g for _, g in warps])  # (n, B, Ho, Wo, 2)
-    src_off = jnp.asarray([i * B * H * W for i, _ in warps],
-                          jnp.int32)[:, None, None, None]
-    boffs = (jnp.arange(B, dtype=jnp.int32) * (H * W))[None, :, None, None]
-
-    gx = grid[..., 0].astype(jnp.float32)
-    gy = grid[..., 1].astype(jnp.float32)
-    ix = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1)
-    iy = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1)
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    wx = (ix - x0)[..., None].astype(jnp.float32)
-    wy = (iy - y0)[..., None].astype(jnp.float32)
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-
-    def gather(yi, xi):
-        idx = (src_off + boffs + yi * W + xi).reshape(-1)
-        return jnp.take(flat, idx, axis=0).reshape(n, B, Ho, Wo, C)
-
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x1)
-    v10 = gather(y1, x0)
-    v11 = gather(y1, x1)
-
-    out = (
-        v00.astype(jnp.float32) * (1 - wx) * (1 - wy)
-        + v01.astype(jnp.float32) * wx * (1 - wy)
-        + v10.astype(jnp.float32) * (1 - wx) * wy
-        + v11.astype(jnp.float32) * wx * wy
-    ).astype(dtype)
-    return [out[i] for i in range(n)]

@@ -6,6 +6,12 @@ from fusiondepth_tpu.parallel.mesh import (
     shard_batch,
     shard_batch_spatial,
 )
+from fusiondepth_tpu.parallel.multihost import (
+    global_batch,
+    local_batch_size,
+    maybe_initialize_distributed,
+    shard_lines,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +20,8 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "shard_batch_spatial",
+    "global_batch",
+    "local_batch_size",
+    "maybe_initialize_distributed",
+    "shard_lines",
 ]

@@ -2,17 +2,38 @@
 smoothness + scale-invariant LiDAR loss, assembled as one pure function.
 
 Mirrors reference trainer.py:425-596 (generate_images_pred + compute_losses).
-Everything is static-shaped and traces into a single XLA computation; the
-per-pixel min over warp candidates is a stacked `jnp.min`, the automask
-tie-break noise comes from an explicit PRNG key.
+Everything is static-shaped and traces into a single XLA computation.
+
+Two formulations, same semantics:
+
+- PLANES (default, the fast path for 1 chip and N-chip meshes alike): all
+  full-resolution maps live in (candidates..., B, C, H, W) layout with W in
+  the 128-lane axis (ops/planes.py). The 8 (scale, frame) warps run as ONE
+  Pallas banded-MXU kernel call (shard_mapped over the batch axis under a
+  mesh) or one fused XLA gather; SSIM is two banded MXU matmuls; the
+  identity reprojection is hoisted out of the scale loop (it is
+  scale-invariant at full-res warping, reference trainer.py:515-528 with
+  source_scale==0); the per-pixel automask min runs over a LEADING candidate
+  axis so the batch axis is never concatenated and GSPMD data parallelism
+  propagates untouched. This is the formulation the benchmark measures AND
+  the one the multi-device mesh runs — there is no slow mesh fallback.
+
+- REFERENCE (per-scale NHWC): a direct transcription of the reference's
+  loop, used for the v1_multiscale ablation (per-scale warping resolutions,
+  where the fusions don't apply) and as the numerical oracle the test suite
+  checks the planes formulation against.
+
+The per-pixel min over warp candidates is a stacked `jnp.min`; the automask
+tie-break noise comes from an explicit PRNG key (reference trainer.py:549-551).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from fusiondepth_tpu.config import Config
 from fusiondepth_tpu.ops.depth import disp_to_depth
@@ -22,98 +43,218 @@ from fusiondepth_tpu.ops.losses import (
     reprojection_loss,
     si_loss,
 )
+from fusiondepth_tpu.ops.planes import (
+    from_planes,
+    normalized_smoothness_planes,
+    reprojection_loss_planes,
+    resize_planes,
+    to_planes,
+)
 from fusiondepth_tpu.ops.resize import resize_bilinear
 from fusiondepth_tpu.ops.sampling import grid_sample
+from fusiondepth_tpu.ops.warp import warp_planes
 
 
-def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
-                         frame_ids) -> Dict[Any, Any]:
-    """Warp each source frame into frame 0's view at every scale.
+# --------------------------------------------------------------------------
+# shared pieces
+# --------------------------------------------------------------------------
 
-    Populates outputs[("depth", 0, s)] and outputs[("color", f, s)].
-    Reference: trainer.py:425-474.
+def _pose_T(cfg: Config, batch, outputs, f_i, depth):
+    """Camera transform for source frame f_i (reference trainer.py:440-459)."""
+    if f_i == "s":
+        return batch["stereo_T"]
+    T = outputs[("cam_T_cam", 0, f_i)]
+    if cfg.pose_model_type == "posecnn":
+        from fusiondepth_tpu.ops.pose import transformation_from_parameters
+
+        aa = outputs[("axisangle", 0, f_i)]
+        t = outputs[("translation", 0, f_i)]
+        inv_depth = 1.0 / depth
+        mean_inv_depth = inv_depth.mean(axis=(1, 2, 3), keepdims=False)
+        T = transformation_from_parameters(
+            aa[:, 0, 0], t[:, 0, 0] * mean_inv_depth[:, None],
+            invert=(f_i < 0))
+    return T
+
+
+def build_color_pyramid(cfg: Config, color0):
+    """Frame-0 color at each scale for smoothness guidance (NHWC).
+
+    The reference builds this on the host with PIL ANTIALIAS resizing
+    (datasets/mono_dataset.py:85-104); here it is an in-step antialiased
+    resize so the pyramid fuses into the training computation.
     """
+    pyramid = {}
+    for scale in cfg.scales:
+        h = cfg.height // 2**scale
+        w = cfg.width // 2**scale
+        if scale == 0:
+            pyramid[scale] = color0
+        else:
+            pyramid[scale] = jax.image.resize(
+                color0, (color0.shape[0], h, w, color0.shape[-1]),
+                method="bilinear", antialias=True)
+    return pyramid
+
+
+def _pyramid_planes(cfg: Config, target_p):
+    """Frame-0 color pyramid in planes layout (B, C, Hs, Ws)."""
+    B, C, H, W = target_p.shape
+    pyramid = {}
+    for scale in cfg.scales:
+        h, w = H // 2**scale, W // 2**scale
+        if scale == 0:
+            pyramid[scale] = target_p
+        else:
+            pyramid[scale] = jax.image.resize(
+                target_p, (B, C, h, w), method="bilinear", antialias=True)
+    return pyramid
+
+
+# --------------------------------------------------------------------------
+# planes formulation (default)
+# --------------------------------------------------------------------------
+
+def _generate_images_pred_planes(cfg: Config, batch, outputs, frame_ids,
+                                 mesh: Optional[Mesh]):
+    """Full-res warping (v1_multiscale off): every (scale, frame) warp in
+    one planes-layout call. Reference: trainer.py:425-474."""
     fid_index = {f: i for i, f in enumerate(cfg.frame_ids)}
     H, W = cfg.height, cfg.width
+    src_frames = list(frame_ids[1:])
 
-    # at full-res warping (v1_multiscale off) every (scale, frame) warp
-    # shares the same output size and source set: defer them and run ONE
-    # fused gather (ops.sampling.grid_sample_multi)
-    fuse_warps = not cfg.v1_multiscale
-    pending = []  # (f_i, scale, source_position, pix_coords)
-    src_frames = [f for f in frame_ids[1:]]
-    src_pos = {f: i for i, f in enumerate(src_frames)}
-
+    grids = {}  # (f_i, scale) -> (B, H, W, 2)
     for scale in cfg.scales:
-        disp = outputs[("disp", scale)]
-        if cfg.v1_multiscale:
-            # warp at this scale: scaled intrinsics + per-scale source color
-            source_scale = scale
-            hs, ws = disp.shape[1], disp.shape[2]
-            K = batch["K"].at[:, 0, :].mul(ws / W).at[:, 1, :].mul(hs / H)
-            inv_K = jnp.linalg.inv(K)
-        else:
-            disp = resize_bilinear(disp, H, W)
-            source_scale = 0
-            K, inv_K = batch["K"], batch["inv_K"]
+        disp = resize_bilinear(outputs[("disp", scale)], H, W)
         _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
         outputs[("depth", 0, scale)] = depth
-
-        for f_i in frame_ids[1:]:
-            if f_i == "s":
-                T = batch["stereo_T"]
-            else:
-                T = outputs[("cam_T_cam", 0, f_i)]
-
-            if cfg.pose_model_type == "posecnn" and f_i != "s":
-                from fusiondepth_tpu.ops.pose import (
-                    transformation_from_parameters,
-                )
-                aa = outputs[("axisangle", 0, f_i)]
-                t = outputs[("translation", 0, f_i)]
-                inv_depth = 1.0 / depth
-                mean_inv_depth = inv_depth.mean(axis=(1, 2, 3), keepdims=False)
-                T = transformation_from_parameters(
-                    aa[:, 0, 0], t[:, 0, 0] * mean_inv_depth[:, None],
-                    invert=(f_i < 0))
-
-            cam_points = backproject_depth(depth, inv_K)
+        K, inv_K = batch["K"], batch["inv_K"]
+        cam_points = backproject_depth(depth, inv_K)
+        for f_i in src_frames:
+            T = _pose_T(cfg, batch, outputs, f_i, depth)
             pix_coords = project_3d(cam_points, K, T)
             outputs[("sample", f_i, scale)] = pix_coords
-            if fuse_warps:
-                pending.append((f_i, scale, src_pos[f_i], pix_coords))
-            else:
-                src = _frame_at_scale(cfg, batch, fid_index[f_i],
-                                      source_scale)
-                outputs[("color", f_i, scale)] = grid_sample(src, pix_coords)
+            grids[(f_i, scale)] = pix_coords
 
-    if fuse_warps and pending:
-        sources = [batch["color"][:, fid_index[f]] for f in src_frames]
-        warp_list = [(pos, pix) for _, _, pos, pix in pending]
-        if (cfg.pallas_warp and H % 16 == 0 and H >= 64
-                and jax.device_count() == 1):
-            # single-device only for now: under a GSPMD mesh the kernel
-            # would need a shard_map wrapper (the XLA fallback shards fine)
-            from fusiondepth_tpu.ops.pallas_warp import warp_bilinear_banded
+    # (n_src, n_scales, B, H, W, 2) / (n_src, B, C, H, W)
+    grid_stack = jnp.stack([
+        jnp.stack([grids[(f, s)] for s in cfg.scales]) for f in src_frames])
+    sources_p = jnp.stack([
+        to_planes(batch["color"][:, fid_index[f]]) for f in src_frames])
+    target_p = to_planes(batch["color"][:, 0])
 
-            # bf16 training already rounds colors through the MXU, so the
-            # default fast matmul precision is numerically consistent
-            # (max diff vs exact ~4e-3 on [0,1] colors, 8.6x faster incl.
-            # backward); f32 training keeps HIGHEST (exact, 2e-7)
-            prec = (jax.lax.Precision.DEFAULT
-                    if cfg.compute_dtype == "bfloat16"
-                    else jax.lax.Precision.HIGHEST)
-            sampled = warp_bilinear_banded(sources, warp_list,
-                                           precision=prec)
-        else:
-            from fusiondepth_tpu.ops.sampling import grid_sample_multi
+    # bf16 training already rounds colors through the MXU, so the default
+    # fast matmul precision is numerically consistent (max diff vs exact
+    # ~4e-3 on [0,1] colors, 8.6x faster incl. backward); f32 keeps HIGHEST
+    prec = (jax.lax.Precision.DEFAULT if cfg.compute_dtype == "bfloat16"
+            else jax.lax.Precision.HIGHEST)
+    warped = warp_planes(sources_p, grid_stack, use_pallas=cfg.pallas_warp,
+                         precision=prec, mesh=mesh)
 
-            sampled = grid_sample_multi(sources, warp_list)
-        for (f_i, scale, _, _), out in zip(pending, sampled):
-            outputs[("color", f_i, scale)] = out
-
+    outputs["warped_planes"] = warped      # (n, k, B, C, H, W)
+    outputs["sources_planes"] = sources_p  # (n, B, C, H, W)
+    outputs["target_planes"] = target_p    # (B, C, H, W)
+    # NHWC views for logging/inspection — dead code under jit unless used
+    for ni, f in enumerate(src_frames):
+        for ki, s in enumerate(cfg.scales):
+            outputs[("color", f, s)] = from_planes(warped[ni, ki])
     return outputs
 
+
+def _compute_losses_planes(cfg: Config, batch, outputs, rng):
+    """Multi-scale photometric + automask + smoothness + SI loss, planes
+    layout. Reference: trainer.py:490-596."""
+    losses: Dict[str, jnp.ndarray] = {}
+    total_loss = 0.0
+    H, W = cfg.height, cfg.width
+    n_src = len(cfg.frame_ids) - 1
+
+    warped = outputs["warped_planes"]      # (n, k, B, C, H, W)
+    sources_p = outputs["sources_planes"]  # (n, B, C, H, W)
+    target_p = outputs["target_planes"]    # (B, C, H, W)
+    use_ssim = not cfg.no_ssim
+
+    # every warped reprojection loss in ONE call (n, k, B, H, W)
+    reproj_maps = reprojection_loss_planes(
+        warped, target_p[None, None], use_ssim=use_ssim)
+    # identity reprojection is scale-invariant at full-res warping: hoisted
+    # out of the scale loop (reference trainer.py:515-528); only the random
+    # tie-break noise is drawn fresh per scale (trainer.py:549-551)
+    identity_maps = None
+    if not cfg.disable_automasking:
+        identity_maps = reprojection_loss_planes(
+            sources_p, target_p[None], use_ssim=use_ssim)  # (n, B, H, W)
+
+    pyr = _pyramid_planes(cfg, target_p)
+
+    for si, scale in enumerate(cfg.scales):
+        loss = 0.0
+        reproj = reproj_maps[:, si]  # (n, B, H, W)
+
+        if not cfg.disable_automasking:
+            identity = identity_maps
+            if cfg.avg_reprojection:
+                identity = identity.mean(axis=0, keepdims=True)
+            rng, sub = jax.random.split(rng)
+            identity = identity + jax.random.normal(
+                sub, identity.shape) * 1e-5
+        elif cfg.predictive_mask:
+            # Zhou-style learned mask: weight the reprojection losses and
+            # pull the mask toward 1 with a BCE term (trainer.py:531-545)
+            mask = outputs["predictive_mask"][("disp", scale)]
+            mask_p = resize_planes(mask[..., 0], H, W)  # (B, H, W)
+            reproj = reproj * mask_p[None]
+            eps = 1e-7
+            bce = -jnp.log(jnp.clip(mask, eps, 1.0)).mean()
+            loss = loss + 0.2 * bce
+
+        if cfg.avg_reprojection:
+            reproj = reproj.mean(axis=0, keepdims=True)
+
+        if not cfg.disable_automasking:
+            # candidate axis LEADS: batch axis untouched, shards cleanly
+            combined = jnp.concatenate([identity, reproj], axis=0)
+        else:
+            combined = reproj
+
+        if combined.shape[0] == 1:
+            to_optimise = combined[0]
+        else:
+            to_optimise = combined.min(axis=0)
+            if not cfg.disable_automasking:
+                idxs = combined.argmin(axis=0)
+                outputs[f"identity_selection/{scale}"] = (
+                    idxs >= identity.shape[0]).astype(jnp.float32)
+
+        loss = loss + to_optimise.mean()
+
+        disp = outputs[("disp", scale)][..., 0]  # (B, Hs, Ws) planes-native
+        smooth = normalized_smoothness_planes(disp, pyr[scale])
+        loss = loss + cfg.disparity_smoothness * smooth / (2.0**scale)
+
+        total_loss = total_loss + loss
+        losses[f"loss/{scale}"] = loss
+
+        if cfg.trainer_siloss and (cfg.trainer_siloss_all_scale or scale == 0):
+            disp_full = resize_planes(disp, H, W)
+            _, depth = disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
+            beam_depth = batch["four_beam"][..., 0] * 100.0
+            # hard-coded metric scale (reference trainer.py:583)
+            depth = depth * 26.0
+            si = si_loss(depth, beam_depth,
+                         threshold=cfg.gdc_loss_threshold,
+                         si_var=cfg.si_var)
+            total_loss = total_loss + si
+            losses[f"loss/si_loss{scale}"] = si
+
+    total_loss = total_loss / cfg.num_scales
+    losses["loss"] = total_loss
+    return losses
+
+
+# --------------------------------------------------------------------------
+# reference formulation (v1_multiscale + test oracle)
+# --------------------------------------------------------------------------
 
 def _frame_at_scale(cfg: Config, batch, frame_index: int, scale: int):
     """Source frame color at pyramid level `scale` (v1_multiscale only)."""
@@ -126,54 +267,45 @@ def _frame_at_scale(cfg: Config, batch, frame_index: int, scale: int):
                             method="bilinear", antialias=True)
 
 
-def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
-                   rng) -> Dict[str, jnp.ndarray]:
-    """Multi-scale photometric + automask + smoothness + SI loss.
+def generate_images_pred_reference(cfg: Config, batch, outputs, frame_ids):
+    """Per-(scale, frame) NHWC warping — the direct transcription of
+    reference trainer.py:425-474. Supports v1_multiscale."""
+    fid_index = {f: i for i, f in enumerate(cfg.frame_ids)}
+    H, W = cfg.height, cfg.width
 
-    Reference: trainer.py:490-596. `batch["color_pyramid"]` holds frame-0
-    color at each scale for the smoothness guidance (list indexed by scale).
-    """
+    for scale in cfg.scales:
+        disp = outputs[("disp", scale)]
+        if cfg.v1_multiscale:
+            source_scale = scale
+            hs, ws = disp.shape[1], disp.shape[2]
+            K = batch["K"].at[:, 0, :].mul(ws / W).at[:, 1, :].mul(hs / H)
+            inv_K = jnp.linalg.inv(K)
+        else:
+            disp = resize_bilinear(disp, H, W)
+            source_scale = 0
+            K, inv_K = batch["K"], batch["inv_K"]
+        _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
+        outputs[("depth", 0, scale)] = depth
+
+        cam_points = backproject_depth(depth, inv_K)
+        for f_i in frame_ids[1:]:
+            T = _pose_T(cfg, batch, outputs, f_i, depth)
+            pix_coords = project_3d(cam_points, K, T)
+            outputs[("sample", f_i, scale)] = pix_coords
+            src = _frame_at_scale(cfg, batch, fid_index[f_i], source_scale)
+            outputs[("color", f_i, scale)] = grid_sample(src, pix_coords)
+    return outputs
+
+
+def compute_losses_reference(cfg: Config, batch, outputs, rng):
+    """Per-scale NHWC loss loop — direct transcription of reference
+    trainer.py:490-596. `batch["color_pyramid"]` holds frame-0 color at
+    each scale for the smoothness guidance."""
     losses: Dict[str, jnp.ndarray] = {}
     total_loss = 0.0
     fid_index = {f: i for i, f in enumerate(cfg.frame_ids)}
     H, W = cfg.height, cfg.width
-
     source_frames = [f for f in cfg.frame_ids[1:]]
-
-    # identity reprojection is scale-INVARIANT when warping at full res
-    # (source_scale==0 for every scale, reference trainer.py:515-528):
-    # hoist the expensive SSIM/L1 out of the scale loop; only the random
-    # tie-break noise is drawn fresh per scale (trainer.py:549-551)
-    # single-device only: under a GSPMD mesh the cross-scale concats force
-    # inefficient reshards ("[SPMD] Involuntary full rematerialization");
-    # the per-scale formulation shards cleanly on the batch axis
-    fuse_loss = jax.device_count() == 1
-
-    identity_base = None
-    if (not cfg.disable_automasking and not cfg.v1_multiscale
-            and fuse_loss):
-        target0 = batch["color"][:, 0]
-        identity_base = jnp.concatenate(
-            [reprojection_loss(batch["color"][:, fid_index[f]], target0,
-                               use_ssim=not cfg.no_ssim)
-             for f in source_frames],
-            axis=-1,
-        )
-
-    # ALL warped reprojection losses in one stacked SSIM+L1 call: 8
-    # separate per-(scale, frame) instances cost ~13 ms each in the
-    # backward; one (n*B)-batch call fuses them
-    stacked_reproj = None
-    if not cfg.v1_multiscale and fuse_loss:
-        target0 = batch["color"][:, 0]
-        preds = [outputs[("color", f, s)] for s in cfg.scales
-                 for f in source_frames]
-        big = jnp.concatenate(preds, axis=0)
-        tgt = jnp.tile(target0, (len(preds), 1, 1, 1))
-        rl = reprojection_loss(big, tgt, use_ssim=not cfg.no_ssim)
-        B0 = target0.shape[0]
-        stacked_reproj = rl.reshape(len(cfg.scales), len(source_frames),
-                                    B0, H, W, 1)
 
     for scale in cfg.scales:
         loss = 0.0
@@ -184,7 +316,7 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
         if cfg.v1_multiscale:
             target = _frame_at_scale(cfg, batch, 0, source_scale)
         else:
-            target = batch["color"][:, 0]  # full-res frame 0
+            target = batch["color"][:, 0]
 
         def _src(f):
             if cfg.v1_multiscale:
@@ -192,31 +324,20 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
                                        source_scale)
             return batch["color"][:, fid_index[f]]
 
-        if stacked_reproj is not None:
-            si_ = list(cfg.scales).index(scale)
-            reproj = jnp.concatenate(
-                [stacked_reproj[si_, fi]
-                 for fi in range(len(source_frames))],
-                axis=-1,
-            )  # (B, H, W, n_src)
-        else:
-            reproj = jnp.concatenate(
-                [reprojection_loss(outputs[("color", f, scale)], target,
+        reproj = jnp.concatenate(
+            [reprojection_loss(outputs[("color", f, scale)], target,
+                               use_ssim=not cfg.no_ssim)
+             for f in source_frames],
+            axis=-1,
+        )
+
+        if not cfg.disable_automasking:
+            identity = jnp.concatenate(
+                [reprojection_loss(_src(f), target,
                                    use_ssim=not cfg.no_ssim)
                  for f in source_frames],
                 axis=-1,
             )
-
-        if not cfg.disable_automasking:
-            if identity_base is not None:
-                identity = identity_base
-            else:
-                identity = jnp.concatenate(
-                    [reprojection_loss(_src(f), target,
-                                       use_ssim=not cfg.no_ssim)
-                     for f in source_frames],
-                    axis=-1,
-                )
             if cfg.avg_reprojection:
                 identity = identity.mean(axis=-1, keepdims=True)
             # random tie-break noise (reference trainer.py:549-551)
@@ -224,8 +345,6 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
             identity = identity + jax.random.normal(
                 sub, identity.shape) * 1e-5
         elif cfg.predictive_mask:
-            # Zhou-style learned mask: weight the reprojection losses and
-            # pull the mask toward 1 with a BCE term (trainer.py:531-545)
             mask = outputs["predictive_mask"][("disp", scale)]
             if not cfg.v1_multiscale:
                 mask = resize_bilinear(mask, H, W)
@@ -263,7 +382,6 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
             disp_full = resize_bilinear(disp, H, W)
             _, depth = disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
             beam_depth = batch["four_beam"] * 100.0
-            # hard-coded metric scale (reference trainer.py:583)
             depth = depth * 26.0
             si = si_loss(depth, beam_depth,
                          threshold=cfg.gdc_loss_threshold,
@@ -276,21 +394,30 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
     return losses
 
 
-def build_color_pyramid(cfg: Config, color0):
-    """Frame-0 color at each scale for smoothness guidance.
+# --------------------------------------------------------------------------
+# public entry points
+# --------------------------------------------------------------------------
 
-    The reference builds this on the host with PIL ANTIALIAS resizing
-    (datasets/mono_dataset.py:85-104); here it is an in-step antialiased
-    resize so the pyramid fuses into the training computation.
+def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
+                         frame_ids, mesh: Optional[Mesh] = None
+                         ) -> Dict[Any, Any]:
+    """Warp each source frame into frame 0's view at every scale.
+
+    Populates outputs[("depth", 0, s)], outputs[("color", f, s)] and (on
+    the default full-res path) the planes-layout tensors the loss consumes.
+    Reference: trainer.py:425-474.
     """
-    pyramid = {}
-    for scale in cfg.scales:
-        h = cfg.height // 2**scale
-        w = cfg.width // 2**scale
-        if scale == 0:
-            pyramid[scale] = color0
-        else:
-            pyramid[scale] = jax.image.resize(
-                color0, (color0.shape[0], h, w, color0.shape[-1]),
-                method="bilinear", antialias=True)
-    return pyramid
+    if cfg.v1_multiscale:
+        return generate_images_pred_reference(cfg, batch, outputs, frame_ids)
+    return _generate_images_pred_planes(cfg, batch, outputs, frame_ids, mesh)
+
+
+def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
+                   rng) -> Dict[str, jnp.ndarray]:
+    """Multi-scale photometric + automask + smoothness + SI loss.
+
+    Reference: trainer.py:490-596.
+    """
+    if cfg.v1_multiscale:
+        return compute_losses_reference(cfg, batch, outputs, rng)
+    return _compute_losses_planes(cfg, batch, outputs, rng)

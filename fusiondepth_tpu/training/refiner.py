@@ -33,10 +33,15 @@ from fusiondepth_tpu.models.depth_decoder import DepthDecoder
 from fusiondepth_tpu.models.fusion import FusionNets, _dtype
 from fusiondepth_tpu.ops.depth import disp_to_depth
 from fusiondepth_tpu.ops.geometry import cat_xy
-from fusiondepth_tpu.ops.losses import normalized_smoothness, reprojection_loss
+from fusiondepth_tpu.ops.planes import (
+    normalized_smoothness_planes,
+    reprojection_loss_planes,
+    resize_planes,
+)
 from fusiondepth_tpu.ops.pooling import masked_median, max_pool2x2_ceil
 from fusiondepth_tpu.ops.resize import resize_bilinear
 from fusiondepth_tpu.training.photometric import (
+    _pyramid_planes,
     build_color_pyramid,
     generate_images_pred,
 )
@@ -219,48 +224,51 @@ def make_refine_loss_fn(cfg: Config, nets: RefinerNets):
 
 def _refine_losses(cfg: Config, batch, outputs, rng):
     """Photometric/automask/smoothness + GDC-clone SI loss for one pass
-    (reference refiner.py:592-693)."""
+    (reference refiner.py:592-693). Planes-layout (ops/planes.py), same
+    formulation as the stage-1 loss: candidate axes lead, batch axis stays
+    intact, so the path shards cleanly and is the one the benchmark runs."""
     H, W = cfg.height, cfg.width
-    fid_index = {f: i for i, f in enumerate(cfg.frame_ids)}
     total = 0.0
     metrics: Dict[str, jnp.ndarray] = {}
-    source_frames = list(cfg.frame_ids[1:])
 
-    for scale in cfg.scales:
+    warped = outputs["warped_planes"]      # (n, k, B, C, H, W)
+    sources_p = outputs["sources_planes"]  # (n, B, C, H, W)
+    target_p = outputs["target_planes"]    # (B, C, H, W)
+    use_ssim = not cfg.no_ssim
+
+    reproj_maps = reprojection_loss_planes(
+        warped, target_p[None, None], use_ssim=use_ssim)
+    identity_maps = None
+    if not cfg.disable_automasking:
+        identity_maps = reprojection_loss_planes(
+            sources_p, target_p[None], use_ssim=use_ssim)
+    pyr = _pyramid_planes(cfg, target_p)
+
+    for si_, scale in enumerate(cfg.scales):
         loss = 0.0
-        disp = outputs[("disp", scale)]
-        color = batch["color_pyramid"][scale]
-        target = batch["color"][:, 0]
-
-        reproj = jnp.concatenate(
-            [reprojection_loss(outputs[("color", f, scale)], target,
-                               use_ssim=not cfg.no_ssim)
-             for f in source_frames], axis=-1)
+        disp = outputs[("disp", scale)][..., 0]  # (B, Hs, Ws)
+        reproj = reproj_maps[:, si_]  # (n, B, H, W)
 
         if not cfg.disable_automasking:
-            identity = jnp.concatenate(
-                [reprojection_loss(batch["color"][:, fid_index[f]], target,
-                                   use_ssim=not cfg.no_ssim)
-                 for f in source_frames], axis=-1)
             rng, sub = jax.random.split(rng)
-            identity = identity + jax.random.normal(
-                sub, identity.shape) * 1e-5
-            combined = jnp.concatenate([identity, reproj], axis=-1)
+            identity = identity_maps + jax.random.normal(
+                sub, identity_maps.shape) * 1e-5
+            combined = jnp.concatenate([identity, reproj], axis=0)
         else:
             combined = reproj
 
-        to_optimise = (combined[..., 0] if combined.shape[-1] == 1
-                       else combined.min(axis=-1))
+        to_optimise = (combined[0] if combined.shape[0] == 1
+                       else combined.min(axis=0))
         loss = loss + to_optimise.mean()
 
-        smooth = normalized_smoothness(disp, color)
+        smooth = normalized_smoothness_planes(disp, pyr[scale])
         loss = loss + cfg.disparity_smoothness * smooth / (2.0**scale)
         total = total + loss
         metrics[f"loss/scale{scale}"] = loss
 
         if (not cfg.gdc_loss_only_on_scale_0) or scale == 0:
             gdc_out = batch["inf_gdc"][..., 0]  # (B, H, W)
-            disp_full = resize_bilinear(disp, H, W)[..., 0]
+            disp_full = resize_planes(disp, H, W)
             _, depth = disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
             gdc_loss = refiner_si_loss(
                 depth, gdc_out, cfg.gdc_loss_threshold,

@@ -67,7 +67,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
     return optax.adam(schedule, eps=1e-8)
 
 
-def make_loss_fn(cfg: Config, nets: FusionNets) -> Callable:
+def make_loss_fn(cfg: Config, nets: FusionNets, mesh=None) -> Callable:
     fwd = lambda variables, batch: nets.forward(variables, batch, train=True)
     if cfg.remat:
         # trade recompute for activation memory (useful at 352x1216)
@@ -78,7 +78,8 @@ def make_loss_fn(cfg: Config, nets: FusionNets) -> Callable:
         batch = dict(batch)
         batch["color_pyramid"] = build_color_pyramid(cfg, batch["color"][:, 0])
         outputs, updates = fwd(variables, batch)
-        outputs = generate_images_pred(cfg, batch, outputs, list(cfg.frame_ids))
+        outputs = generate_images_pred(cfg, batch, outputs,
+                                       list(cfg.frame_ids), mesh=mesh)
         losses = compute_losses(cfg, batch, outputs, rng)
         new_stats = {
             k: (updates[k]["batch_stats"] if k in updates
@@ -91,13 +92,16 @@ def make_loss_fn(cfg: Config, nets: FusionNets) -> Callable:
 
 
 def make_train_step(cfg: Config, nets: FusionNets,
-                    tx: optax.GradientTransformation) -> Callable:
+                    tx: optax.GradientTransformation,
+                    mesh=None) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, losses).
 
     With cfg.grad_accum_steps > 1, the batch's leading axis is split into
-    microbatches processed by lax.scan with gradient averaging.
+    microbatches processed by lax.scan with gradient averaging. `mesh` (a
+    data-parallel Mesh, or None) lets the Pallas warp kernel run per-shard
+    via shard_map — the same fast loss path serves 1 and N devices.
     """
-    loss_fn = make_loss_fn(cfg, nets)
+    loss_fn = make_loss_fn(cfg, nets, mesh=mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     accum = max(cfg.grad_accum_steps, 1)
 

@@ -26,7 +26,14 @@ import numpy as np
 
 from fusiondepth_tpu.config import Config
 from fusiondepth_tpu.models.fusion import FusionNets
-from fusiondepth_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+from fusiondepth_tpu.parallel import (
+    global_batch,
+    local_batch_size,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+    shard_lines,
+)
 from fusiondepth_tpu.training import checkpoint as ckpt
 from fusiondepth_tpu.training.evaluation import evaluate_disparities
 from fusiondepth_tpu.training.train_state import (
@@ -74,7 +81,12 @@ class Trainer:
         # sharded on the leading axis, GSPMD inserts the gradient psum.
         if use_mesh is None:
             use_mesh = cfg.use_mesh
-        self.mesh = make_mesh(cfg.mesh_shape) if use_mesh else None
+        # multi-host: each process drives its local chips; the mesh spans
+        # every process's devices, batches assemble per-host (multihost.py)
+        self.process_count = jax.process_count()
+        self.is_lead_host = jax.process_index() == 0
+        self.mesh = (make_mesh(cfg.mesh_shape)
+                     if use_mesh or self.process_count > 1 else None)
         if self.mesh is not None:
             n_data = self.mesh.shape["data"]
             assert cfg.batch_size % n_data == 0, (
@@ -84,7 +96,8 @@ class Trainer:
                 self.state, replicated_sharding(self.mesh))
 
         self.train_step = jax.jit(
-            make_train_step(cfg, self.nets, self.tx), donate_argnums=0)
+            make_train_step(cfg, self.nets, self.tx, mesh=self.mesh),
+            donate_argnums=0)
         self._infer = jax.jit(
             lambda variables, batch: self.nets.forward_depth(
                 variables, batch, train=False)[0][("disp", 0)])
@@ -93,7 +106,11 @@ class Trainer:
         self.loggers = {
             mode: MetricLogger(self.log_path, mode)
             for mode in ("train", "val")}
-        ckpt.save_options(cfg)
+        # offline wandb.alert equivalent (reference trainer.py:43,653)
+        self.loggers["train"].add_watch("loss", "nan",
+                                        title="non-finite training loss")
+        if self.is_lead_host:
+            ckpt.save_options(cfg)
 
         if cfg.train_load_weights_folder:
             # resume restricted to --models_to_load, with the beam encoders
@@ -125,8 +142,10 @@ class Trainer:
                else KITTIRAWDataset)
         split_dir = os.path.join(os.path.dirname(__file__), "..", "..",
                                  "splits")
-        train_files = readlines(
-            os.path.join(split_dir, cfg.split, "train_files.txt"))
+        # multi-host: every process reads a disjoint strided slice of the
+        # split (parallel/multihost.py); single-process this is identity
+        train_files = shard_lines(readlines(
+            os.path.join(split_dir, cfg.split, "train_files.txt")))
         test_files = readlines(
             os.path.join(split_dir, "eigen", "test_files.txt"))
         ext = ".png" if cfg.png else ".jpg"
@@ -142,7 +161,9 @@ class Trainer:
     def _loader(self, dataset, shuffle: bool):
         from fusiondepth_tpu.data.loader import DataLoader
 
-        return DataLoader(dataset, self.cfg.batch_size, shuffle=shuffle,
+        # cfg.batch_size is the GLOBAL batch; each host loads its share
+        bs = local_batch_size(self.cfg.batch_size, self.process_count)
+        return DataLoader(dataset, bs, shuffle=shuffle,
                           drop_last=shuffle, num_workers=self.cfg.num_workers)
 
     # ---- training ----
@@ -152,21 +173,34 @@ class Trainer:
 
         return combine_variables(self.state.params, self.state.batch_stats)
 
-    def run_step(self, batch) -> Dict[str, float]:
+    def put_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        """Host batch -> device-resident (sharded under a mesh) batch."""
+        if self.mesh is not None and self.process_count > 1:
+            # per-host local arrays -> globally batch-sharded jax.Arrays
+            return global_batch(
+                {k: batch[k] for k in _BATCH_KEYS if k in batch}, self.mesh)
         db = device_batch(batch)
         if self.mesh is not None:
             db = shard_batch(db, self.mesh)
+        return db
+
+    def run_step(self, batch, on_device: bool = False) -> Dict[str, float]:
+        db = batch if on_device else self.put_batch(batch)
         self.rng, key = jax.random.split(self.rng)
         self.state, losses = self.train_step(self.state, db, key)
         self.step += 1
         return losses
 
     def run_epoch(self) -> None:
+        from fusiondepth_tpu.data.prefetch import prefetch_to_device
+
         cfg = self.cfg
         loader = self._loader(self.train_dataset, shuffle=True)
         t_last, n_last = time.time(), 0
-        for batch in loader:
-            losses = self.run_step(batch)
+        # device uploads run `size` batches ahead of the compute stream; the
+        # loop below only syncs (reads a loss) every log_frequency steps
+        for db in prefetch_to_device(loader, self.put_batch, size=2):
+            losses = self.run_step(db, on_device=True)
             n_last += cfg.batch_size
             if self.step % cfg.log_frequency == 0:
                 loss = float(losses["loss"])  # device sync point
@@ -184,7 +218,7 @@ class Trainer:
         for self.epoch in range(self.cfg.num_epochs):
             self.run_epoch()
             metrics = self.validate()
-            if metrics and self.cfg.save_frequency > 0:
+            if metrics and self.cfg.save_frequency > 0 and self.is_lead_host:
                 ckpt.save_checkpoint(self.cfg, self.state, f"{self.epoch}")
 
     # ---- validation (eigen protocol) ----
@@ -217,8 +251,9 @@ class Trainer:
             f"{k} {v:.4f}" for k, v in metrics.items()), flush=True)
         if metrics["abs_rel"] < self.best_absrel:
             self.best_absrel = metrics["abs_rel"]
-            ckpt.save_checkpoint(self.cfg, self.state, "best")
-            ckpt.save_checkpoint(
-                self.cfg, self.state,
-                f"absrel{int(metrics['abs_rel'] * 1e5)}")
+            if self.is_lead_host:
+                ckpt.save_checkpoint(self.cfg, self.state, "best")
+                ckpt.save_checkpoint(
+                    self.cfg, self.state,
+                    f"absrel{int(metrics['abs_rel'] * 1e5)}")
         return metrics

@@ -1,9 +1,13 @@
 """Experiment logging: stdout progress lines + JSONL scalars (+ TensorBoard
-when TensorFlow is available).
+when TensorFlow is available) + alerting.
 
 Replaces the reference's tensorboardX + wandb pair (trainer.py:176-178,
 644-681) with dependency-light equivalents: scalars always land in
 log/<model>/<mode>/metrics.jsonl; tf.summary mirrors them when importable.
+Alerts (the reference pushes wandb.alert on training anomalies,
+trainer.py:43,653 / refiner.py:487) become `MetricLogger.alert` records in
+alerts.jsonl + stderr, with `add_watch` threshold/NaN triggers evaluated on
+every log_scalars call.
 """
 
 from __future__ import annotations
@@ -38,6 +42,8 @@ class MetricLogger:
         os.makedirs(self.dir, exist_ok=True)
         self.path = os.path.join(self.dir, "metrics.jsonl")
         self._f = open(self.path, "a")
+        self.alert_path = os.path.join(self.dir, "alerts.jsonl")
+        self._watches = []  # (metric, op, threshold, title)
         self._tb = None
         if use_tb:
             try:
@@ -47,11 +53,47 @@ class MetricLogger:
             except Exception:
                 self._tb = None
 
+    # ---- alerting (wandb.alert equivalent) ----
+
+    def alert(self, title: str, text: str, level: str = "WARN") -> None:
+        """Emit an alert record (alerts.jsonl + stderr) — the offline
+        equivalent of wandb.alert (reference trainer.py:43,653)."""
+        import sys
+
+        rec = {"time": time.time(), "level": level, "title": title,
+               "text": text}
+        with open(self.alert_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"ALERT[{level}] {title}: {text}", file=sys.stderr, flush=True)
+
+    def add_watch(self, metric: str, op: str, threshold: float = 0.0,
+                  title: Optional[str] = None) -> None:
+        """Alert whenever `metric` crosses a threshold on log_scalars.
+
+        op: ">" / "<" (threshold comparisons) or "nan" (non-finite guard).
+        """
+        assert op in (">", "<", "nan"), op
+        self._watches.append((metric, op, threshold,
+                              title or f"{metric} {op} {threshold}"))
+
+    def _check_watches(self, step: int, scalars: Dict[str, float]) -> None:
+        import math
+
+        for metric, op, threshold, title in self._watches:
+            if metric not in scalars:
+                continue
+            v = float(scalars[metric])
+            fired = (math.isnan(v) or math.isinf(v)) if op == "nan" else (
+                v > threshold if op == ">" else v < threshold)
+            if fired:
+                self.alert(title, f"step {step}: {metric}={v}")
+
     def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        self._check_watches(step, scalars)
         if self._tb is not None:
             import tensorflow as tf
 

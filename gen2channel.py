@@ -21,12 +21,21 @@ def main():
     p.add_argument("--expand", type=int, default=2)
     p.add_argument("--test_only", action="store_true")
     p.add_argument("--regenerate", action="store_true")
+    p.add_argument("--random_sample", type=int, default=0,
+                   help="encode random-sample bins (random{N}/ -> "
+                        "r{N}_2cha/, reference gen2channel.py:18-25)")
     args = p.parse_args()
 
     from fusiondepth_tpu.data.kitti_io import readlines
     from fusiondepth_tpu.data.two_channel import sparse_beam_to_2channel
 
-    out_name = "2channel" if args.nbeams == 4 else f"2channel{args.nbeams}beam"
+    if args.random_sample > 0:
+        in_name = f"random{args.random_sample}"
+        out_name = f"r{args.random_sample}_2cha"
+    else:
+        in_name = f"{args.nbeams}beam"
+        out_name = ("2channel" if args.nbeams == 4
+                    else f"2channel{args.nbeams}beam")
     side_cam = {"l": 2, "r": 3, "2": 2, "3": 3}
     n = 0
     for line in readlines(args.split_file):
@@ -35,7 +44,7 @@ def main():
         date = folder.split("/")[0]
         calib_dir = os.path.join(args.data_path, date)
         velo = os.path.join(args.data_path, folder,
-                            f"{args.nbeams}beam", f"{idx:010d}.bin")
+                            in_name, f"{idx:010d}.bin")
         if not os.path.exists(velo):
             continue
         out_dir = os.path.join(args.data_path, folder, out_name)

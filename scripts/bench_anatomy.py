@@ -1,0 +1,215 @@
+"""Per-stage train-step anatomy on the real TPU (true-sync measurement).
+
+Times each stage of the b12 R18 640x192 train step in isolation, with the
+same measurement model as bench.py (fold S executions into one jitted
+lax.scan, fetch ONE scalar, subtract the tunnel round-trip):
+
+  stage            what runs
+  -----            ---------
+  step             full train step (forward + warp + losses + grads + Adam)
+  fwd_loss         loss_fn forward only (no gradients)
+  grad             value_and_grad of loss_fn (no optimizer)
+  net_fwd          conv nets forward only (encoders + decoders + pose)
+  warp             the warp (Pallas or XLA) alone, fwd
+  warp_grad        warp + its VJP (cotangents to coordinates)
+  reproj_fwd       reprojection_loss_planes on the 8 warped maps, fwd
+  reproj_grad      same + VJP
+  automask         candidate concat + min/argmin + means (given loss maps)
+
+Usage: python scripts/bench_anatomy.py [--stages step,grad,...] [--batch 12]
+Prints one line per stage to stdout. Run on the TPU box only (not under
+pytest — compiles are serialized on this 1-core host).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from bench import SCAN_STEPS, _timeit_stats, tunnel_latency  # noqa: E402
+
+
+def scan_fold(fn, n=SCAN_STEPS):
+    """Fold fn (carry-free, returns scalar) n times into one jit; the carry
+    perturbs the input so XLA cannot hoist the body out of the loop."""
+
+    def multi(*args):
+        def body(c, _):
+            out = fn(c, *args)
+            return out.astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return out
+
+    return jax.jit(multi), n
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stages", default="step,fwd_loss,grad,net_fwd,warp,"
+                                       "warp_grad,reproj_fwd,reproj_grad,"
+                                       "automask")
+    p.add_argument("--batch", type=int, default=12)
+    p.add_argument("--pallas", type=int, default=None,
+                   help="1/0 override for cfg.pallas_warp")
+    args = p.parse_args()
+    stages = args.stages.split(",")
+
+    from fusiondepth_tpu.config import Config
+    from fusiondepth_tpu.data.synthetic import make_batch
+    from fusiondepth_tpu.models.fusion import FusionNets
+    from fusiondepth_tpu.ops.planes import reprojection_loss_planes, to_planes
+    from fusiondepth_tpu.ops.warp import warp_planes
+    from fusiondepth_tpu.training.photometric import generate_images_pred
+    from fusiondepth_tpu.training.train_state import (
+        combine_variables,
+        create_train_state,
+        make_loss_fn,
+        make_optimizer,
+        make_train_step,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    use_pallas = bool(args.pallas) if args.pallas is not None else on_tpu
+    cfg = Config(num_layers=18, height=192, width=640,
+                 batch_size=args.batch,
+                 compute_dtype="bfloat16" if on_tpu else "float32",
+                 pallas_warp=use_pallas)
+    B = args.batch
+    nets = FusionNets(cfg)
+    tx = make_optimizer(cfg, 1000)
+    state = create_train_state(cfg, nets, jax.random.PRNGKey(0), tx)
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=B))
+    variables = combine_variables(state.params, state.batch_stats)
+    loss_fn = make_loss_fn(cfg, nets)
+    rng = jax.random.PRNGKey(1)
+    lat = tunnel_latency()
+    print(f"pallas={use_pallas} dtype={cfg.compute_dtype} b={B} "
+          f"latency={lat*1e3:.1f}ms", file=sys.stderr)
+
+    # shared warped-stage inputs: run images_pred once to get grids
+    outputs, _ = nets.forward(variables, batch, train=True)
+    outputs = generate_images_pred(cfg, batch, dict(outputs),
+                                   list(cfg.frame_ids))
+    grids = jnp.stack([
+        jnp.stack([outputs[("sample", f, s)] for s in cfg.scales])
+        for f in list(cfg.frame_ids)[1:]])
+    sources_p = outputs["sources_planes"]
+    target_p = outputs["target_planes"]
+    warped = outputs["warped_planes"]
+
+    prec = (jax.lax.Precision.DEFAULT if cfg.compute_dtype == "bfloat16"
+            else jax.lax.Precision.HIGHEST)
+
+    def timed(name, fn_c, *fargs):
+        """fn_c(carry, *fargs) -> scalar"""
+        jfn, n = scan_fold(fn_c)
+        st = _timeit_stats(lambda: jfn(*fargs), iters=1, warmup=2, trials=3)
+        ms = st["median"] / n * 1e3
+        print(f"{name:12s} {ms:8.2f} ms  (min {st['min']/n*1e3:.2f} / "
+              f"max {st['max']/n*1e3:.2f})")
+        return ms
+
+    if "step" in stages:
+        step = make_train_step(cfg, nets, tx)
+
+        def multi_step(st0, data, r):
+            keys = jax.random.split(r, SCAN_STEPS)
+
+            def body(s, k):
+                s, losses = step(s, data, k)
+                return s, losses["loss"]
+
+            s, losses = jax.lax.scan(body, st0, keys)
+            return losses[-1]
+
+        jstep = jax.jit(multi_step)
+        stt = _timeit_stats(lambda: jstep(state, batch, rng),
+                            iters=1, warmup=2, trials=3)
+        print(f"{'step':12s} {stt['median']/SCAN_STEPS*1e3:8.2f} ms  "
+              f"(min {stt['min']/SCAN_STEPS*1e3:.2f} / "
+              f"max {stt['max']/SCAN_STEPS*1e3:.2f})  "
+              f"[{B/(stt['median']/SCAN_STEPS):.1f} samples/s]")
+
+    if "fwd_loss" in stages:
+        timed("fwd_loss",
+              lambda c, p, s, b, r: loss_fn(
+                  jax.tree.map(lambda x: x + c * 1e-30, p), s, b, r)[0],
+              state.params, state.batch_stats, batch, rng)
+
+    if "grad" in stages:
+        gfn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def g(c, p, s, b, r):
+            (l, _), grads = gfn(jax.tree.map(lambda x: x + c * 1e-30, p),
+                                s, b, r)
+            return l + jax.tree.leaves(grads)[0].ravel()[0]
+
+        timed("grad", g, state.params, state.batch_stats, batch, rng)
+
+    if "net_fwd" in stages:
+        def nf(c, v, b):
+            bb = dict(b)
+            bb["color_aug"] = b["color_aug"] + c * 1e-30
+            out, _ = nets.forward(v, bb, train=True)
+            return out[("disp", 0)].mean()
+
+        timed("net_fwd", nf, variables, batch)
+
+    if "warp" in stages:
+        def w(c, s, g):
+            out = warp_planes(s + c * 1e-30, g, use_pallas=use_pallas,
+                              precision=prec)
+            return out.mean()
+
+        timed("warp", w, sources_p, grids)
+
+    if "warp_grad" in stages:
+        def wg(c, s, g):
+            gr = jax.grad(lambda gg: warp_planes(
+                s, gg, use_pallas=use_pallas,
+                precision=prec).mean())(g + c * 1e-30)
+            return gr.ravel()[0]
+
+        timed("warp_grad", wg, sources_p, grids)
+
+    if "reproj_fwd" in stages:
+        def rf(c, w_, t):
+            return reprojection_loss_planes(w_ + c * 1e-30,
+                                            t[None, None]).mean()
+
+        timed("reproj_fwd", rf, warped, target_p)
+
+    if "reproj_grad" in stages:
+        def rg(c, w_, t):
+            gr = jax.grad(lambda x: reprojection_loss_planes(
+                x, t[None, None]).mean())(w_ + c * 1e-30)
+            return gr.ravel()[0]
+
+        timed("reproj_grad", rg, warped, target_p)
+
+    if "automask" in stages:
+        rmaps = reprojection_loss_planes(warped, target_p[None, None])
+        imaps = reprojection_loss_planes(sources_p, target_p[None])
+
+        def am(c, rm, im, r):
+            tot = 0.0
+            rr = r
+            for si in range(len(cfg.scales)):
+                rr, sub = jax.random.split(rr)
+                ident = im + jax.random.normal(sub, im.shape) * 1e-5 + c * 1e-30
+                comb = jnp.concatenate([ident, rm[:, si]], axis=0)
+                tot = tot + comb.min(axis=0).mean()
+            return tot
+
+        timed("automask", am, rmaps, imaps, rng)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,11 @@ from fusiondepth_tpu.config import parse_args
 
 def main():
     cfg = parse_args()
+    # multi-host bring-up must precede first backend use
+    # (--coordinator_address/--num_processes; parallel/multihost.py)
+    from fusiondepth_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(cfg)
     from fusiondepth_tpu.training.trainer import Trainer
 
     trainer = Trainer(cfg)
