@@ -158,9 +158,13 @@ class Config:
     remat: bool = False  # jax.checkpoint the forward (memory for 352x1216)
     # Pallas banded-window warp kernel for the reprojection warps (MXU
     # one-hot contractions instead of hardware gathers; exact horizontally,
-    # vertical window WH=64 rows per 16-row block — see ops/pallas_warp.py
+    # vertical window WH rows per RT-row block — see ops/pallas_warp.py
     # for the exactness domain). TPU only; gradients flow to coordinates.
     pallas_warp: bool = False
+    # conv1 as a space-to-depth 4x4/1 conv (exact 7x7/2 rewrite; see
+    # models/resnet._S2DStemConv) — avoids the strided-stem wgrad im2col
+    # chain XLA emits on TPU. Param shapes unchanged.
+    s2d_stem: bool = False
     # Multi-host bring-up (SURVEY §5: jax.distributed.initialize + per-host
     # input sharding; parallel/multihost.py). batch_size stays GLOBAL — each
     # host loads batch_size / num_processes samples of ITS split slice.

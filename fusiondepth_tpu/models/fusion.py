@@ -54,17 +54,18 @@ class FusionNets:
             enc_in = 4
         elif cfg.cat2start:
             enc_in = 5
+        s2d = cfg.s2d_stem
         self.encoder = ResnetEncoder(depth=cfg.num_layers, in_channels=enc_in,
-                                     dtype=dt)
+                                     s2d_stem=s2d, dtype=dt)
 
         self.beam_encoder = None
         self.beam_encoder_pose = None
         if cfg.beam_encoder:
             self.beam_encoder = ResnetEncoder(
-                depth=cfg.num_layers, in_channels=2, dtype=dt)
+                depth=cfg.num_layers, in_channels=2, s2d_stem=s2d, dtype=dt)
             self.beam_encoder_pose = ResnetEncoder(
                 depth=self.pose_depth,
-                in_channels=2 * cfg.num_pose_frames, dtype=dt)
+                in_channels=2 * cfg.num_pose_frames, s2d_stem=s2d, dtype=dt)
 
         self.depth = DepthDecoder(scales=tuple(cfg.scales),
                                   cat2end=cfg.cat2end, dtype=dt)
@@ -84,7 +85,8 @@ class FusionNets:
             if cfg.pose_model_type == "separate_resnet":
                 self.pose_encoder = ResnetEncoder(
                     depth=self.pose_depth,
-                    in_channels=3 * cfg.num_pose_frames, dtype=dt)
+                    in_channels=3 * cfg.num_pose_frames, s2d_stem=s2d,
+                    dtype=dt)
                 self.pose = PoseDecoder(num_input_features=1,
                                         num_frames_to_predict_for=2, dtype=dt)
             elif cfg.pose_model_type == "shared":
@@ -229,9 +231,52 @@ class FusionNets:
         fid_index = {f: i for i, f in enumerate(cfg.frame_ids)}
 
         if cfg.num_pose_frames == 2:
-            for f_i in cfg.frame_ids[1:]:
-                if f_i == "s":
-                    continue
+            temporal = [f for f in cfg.frame_ids[1:] if f != "s"]
+            if cfg.pose_model_type == "separate_resnet" and len(temporal) > 1:
+                # ALL frame pairs in ONE pose-encoder (and one beam-pose-
+                # encoder) pass, pairs stacked on the batch axis: the
+                # reference loops pairs sequentially (trainer.py:340-357),
+                # which runs 2x R18 fwd+bwd back-to-back; fused, the MXU
+                # sees one 2B batch. Deviation: train-mode BatchNorm
+                # statistics are computed over both pairs jointly instead
+                # of per pair (documented in PARITY.md).
+                B = batch["color_aug"].shape[0]
+                pairs = [((f, 0) if f < 0 else (0, f)) for f in temporal]
+                pe_in = jnp.concatenate([
+                    jnp.concatenate(
+                        [batch["color_aug"][:, fid_index[a]],
+                         batch["color_aug"][:, fid_index[b]]], axis=-1)
+                    for a, b in pairs], axis=0)  # (P*B, H, W, 6)
+                pe_feats, upd = self._apply(
+                    self.pose_encoder, variables["pose_encoder"], pe_in,
+                    train=train)
+                if upd:
+                    updates["pose_encoder"] = upd
+                beam_last = None
+                if cfg.beam_encoder:
+                    bp_in = jnp.concatenate([
+                        jnp.concatenate(
+                            [batch["two_channel"][:, fid_index[a]],
+                             batch["two_channel"][:, fid_index[b]]], axis=-1)
+                        for a, b in pairs], axis=0)
+                    bp_feats, upd = self._apply(
+                        self.beam_encoder_pose,
+                        variables["beam_encoder_pose"], bp_in, train=train)
+                    if upd:
+                        updates["beam_encoder_pose"] = upd
+                    beam_last = bp_feats[-1]
+                aa, t = self.pose.apply(variables["pose"], [pe_feats[-1]],
+                                        beam_last_feature=beam_last)
+                for pi, f_i in enumerate(temporal):
+                    aa_i = aa[pi * B:(pi + 1) * B]
+                    t_i = t[pi * B:(pi + 1) * B]
+                    outputs[("axisangle", 0, f_i)] = aa_i
+                    outputs[("translation", 0, f_i)] = t_i
+                    outputs[("cam_T_cam", 0, f_i)] = \
+                        transformation_from_parameters(
+                            aa_i[:, 0, 0], t_i[:, 0, 0], invert=(f_i < 0))
+                return outputs, updates
+            for f_i in temporal:
                 # temporal order: (f_i, 0) if f_i < 0 else (0, f_i)
                 pair = (f_i, 0) if f_i < 0 else (0, f_i)
                 colors = [batch["color_aug"][:, fid_index[f]] for f in pair]

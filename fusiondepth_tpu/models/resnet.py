@@ -18,8 +18,11 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from fusiondepth_tpu.models.norm import BatchNorm
 
 RESNET_STAGES = {
     18: (2, 2, 2, 2),
@@ -38,6 +41,49 @@ RESNET_FEATURE_CHANNELS = {
 }
 
 
+class _S2DStemConv(nn.Module):
+    """conv1 as a space-to-depth 4x4 stride-1 conv (exact 7x7/2 rewrite).
+
+    The strided 7x7 stem lowers poorly on TPU (XLA materializes an
+    im2col-style chain for its weight gradient — see scripts/inspect_hlo.py);
+    rewriting it over a 2x2 space-to-depth grid gives a stride-1 4x4 conv
+    with 4x the input channels, identical math:
+
+        out(i,j) = sum_{dy,dx in [-3,3]} w[dy,dx] x[2i+dy, 2j+dx]
+                 = sum_{a,b in [0,4)} w4[a,b] xs2d[i+a-2, j+b-2]
+
+    with w4 the 7x7 kernel zero-padded to 8x8 at the front and regrouped
+    (2ab+p -> a, p). The param keeps nn.Conv's exact name/shape/init
+    ("kernel", (7,7,C,64)), so checkpoints and torchvision import are
+    unchanged; the regroup runs inside the trace (weights are tiny).
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, C, self.features), jnp.float32)
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if H % 2 or W % 2:  # odd sizes: plain strided conv
+            return jax.lax.conv_general_dilated(
+                x, w, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w4 = w8.reshape(4, 2, 4, 2, C, self.features) \
+               .transpose(0, 2, 1, 3, 4, 5) \
+               .reshape(4, 4, 4 * C, self.features)
+        xs = x.reshape(B, H // 2, 2, W // 2, 2, C) \
+              .transpose(0, 1, 3, 2, 4, 5) \
+              .reshape(B, H // 2, W // 2, 4 * C)
+        return jax.lax.conv_general_dilated(
+            xs, w4, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class _BasicBlock(nn.Module):
     features: int
     stride: int = 1
@@ -45,7 +91,7 @@ class _BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        norm = lambda name: nn.BatchNorm(
+        norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
         identity = x
@@ -72,7 +118,7 @@ class _Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        norm = lambda name: nn.BatchNorm(
+        norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
         out_ch = self.features * 4
@@ -110,6 +156,7 @@ class ResnetEncoder(nn.Module):
     depth: int = 18
     in_channels: int = 3
     normalize_input: bool = True
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -123,9 +170,12 @@ class ResnetEncoder(nn.Module):
         x = x.astype(self.dtype)
 
         features = []
-        y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        if self.s2d_stem:
+            y = _S2DStemConv(64, dtype=self.dtype, name="conv1")(x)
+        else:
+            y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
+        y = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         features.append(y)

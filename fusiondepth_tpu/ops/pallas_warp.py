@@ -15,11 +15,12 @@ This kernel replaces the gather with linear algebra:
 
 Exactness domain: horizontal is exact (incl. border clamping, same
 x0 = clamp(floor(ix), 0, W-2) construction as ops.sampling.grid_sample).
-Vertically each Rt-row output block reads one dynamically-positioned
+Vertically each RT-row output block reads one dynamically-positioned
 WH-row window of the source; pixels whose source row falls outside
 [window, window+WH) clamp to the window edge. Reprojection warps are
-smooth — vertical spread within 16 consecutive rows is a few pixels on
-KITTI-like motion — so WH=64 makes the kernel exact in practice; extreme
+smooth — vertical spread within an RT-row block is RT plus a few pixels on
+KITTI-like motion — so WH=32 (17 rows of motion headroom past the block
+span and alignment slack) keeps the kernel exact in practice; extreme
 synthetic warps fall back to the gather path (use_pallas_warp gates it).
 
 Gradients: a custom VJP computes cotangents for the COORDINATES only
@@ -38,33 +39,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WH = 64  # source-window rows per output block
+WH = 32  # source-window rows per output block
 RT = 16  # output rows per program
 
+# Window sizing: a program emits RT output rows from one WH-row source
+# window starting at yb = 8-aligned floor(min iy). Reprojection warps are
+# near-identity vertically, so iy inside an RT-row block spans ~RT rows
+# plus a few pixels of motion: WH - RT - 7 (alignment slack) = 9 rows of
+# motion headroom. Halving WH from round-2's 64 halves the per-row MXU
+# cost ((C*WH, W) @ (W, W)); RT stays 16 — an RT=8 variant doubled the
+# program count and its per-program overhead cost more than the halved
+# matmul saved (measured 23.6 vs 16.1 ms fwd).
 
-def _xweights(ixr, W, deriv: bool):
-    """(W_out, W_src) horizontal one-hot-pair weights for one output row."""
+
+def _xpair(ixr, W):
+    """Horizontal one-hot pair (W_out, W_src) + weight for one output row.
+
+    O0 selects x0 = clamp(floor(ix), 0, W-2), O1 selects x0+1. Two iota
+    compares: measured FASTER than deriving O1 = pltpu.roll(O0, 1, lanes)
+    (lane rotation costs ~7 ms/step more than the extra compare on v5e —
+    scripts/exp_warp_fwd.py).
+    """
     x0 = jnp.clip(jnp.floor(ixr), 0, W - 2).astype(jnp.int32)  # (W,)
     wx = jnp.clip(ixr - x0.astype(jnp.float32), 0.0, 1.0)
     ids = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)  # (out j, src w)
-    x0b, wxb = x0[:, None], wx[:, None]
-    if deriv:
-        return (jnp.where(ids == x0b + 1, 1.0, 0.0)
-                - jnp.where(ids == x0b, 1.0, 0.0))
-    return (jnp.where(ids == x0b, 1.0 - wxb, 0.0)
-            + jnp.where(ids == x0b + 1, wxb, 0.0))
+    O0 = jnp.where(ids == x0[:, None], 1.0, 0.0)
+    O1 = jnp.where(ids == x0[:, None] + 1, 1.0, 0.0)
+    return O0, O1, wx
 
 
-def _yweights(iyr, yb, W, deriv: bool):
-    """(WH, W) vertical pair weights (window-local) for one output row."""
+def _ypair(iyr, yb, W):
+    """Vertical one-hot pair (WH, W) (window-local) + weight, one row."""
     ly = jnp.clip(jnp.floor(iyr).astype(jnp.int32) - yb, 0, WH - 2)  # (W,)
     wy = jnp.clip(iyr - (yb + ly).astype(jnp.float32), 0.0, 1.0)
     rid = jax.lax.broadcasted_iota(jnp.int32, (WH, W), 0)
-    if deriv:
-        return (jnp.where(rid == ly[None, :] + 1, 1.0, 0.0)
-                - jnp.where(rid == ly[None, :], 1.0, 0.0))
-    return (jnp.where(rid == ly[None, :], 1.0 - wy[None, :], 0.0)
-            + jnp.where(rid == ly[None, :] + 1, wy[None, :], 0.0))
+    O0 = jnp.where(rid == ly[None, :], 1.0, 0.0)
+    O1 = jnp.where(rid == ly[None, :] + 1, 1.0, 0.0)
+    return O0, O1, wy
 
 
 def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
@@ -76,12 +87,17 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
     win = src_ref[0, 0, :, pl.ds(yb, WH), :].reshape(C * WH, W)
 
     for i in range(RT):
-        Cx = _xweights(ix[i], W, deriv=False)
+        Ox0, Ox1, wx = _xpair(ix[i], W)
+        # weights in the source dtype: one-hots are exact, and bf16 wx only
+        # re-rounds what a bf16 MXU pass rounds anyway
+        Cx = (Ox0 + wx[:, None] * (Ox1 - Ox0)).astype(win.dtype)
         Hrow = jax.lax.dot_general(
             win, Cx, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec).reshape(C, WH, W)
-        M = _yweights(iy[i], yb, W, deriv=False)
-        out_ref[0, 0, 0, :, i, :] = (Hrow * M[None]).sum(axis=1)
+        Oy0, Oy1, wy = _ypair(iy[i], yb, W)
+        M = Oy0 + wy[None, :] * (Oy1 - Oy0)
+        out_ref[0, 0, 0, :, i, :] = (
+            (Hrow * M[None]).sum(axis=1)).astype(out_ref.dtype)
 
 
 def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
@@ -93,17 +109,21 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
     win = src_ref[0, 0, :, pl.ds(yb, WH), :].reshape(C * WH, W)
 
     for i in range(RT):
-        g = g_ref[0, 0, 0, :, i, :]  # (C, W)
-        Cx = _xweights(ix[i], W, deriv=False)
-        Cxd = _xweights(ix[i], W, deriv=True)
-        Hrow = jax.lax.dot_general(
-            win, Cx, (((1,), (1,)), ((), ())),
+        g = g_ref[0, 0, 0, :, i, :].astype(jnp.float32)  # (C, W)
+        # two one-hot matmuls give BOTH Hrow and its x-derivative:
+        # Hrow = A0 (1-wx) + A1 wx, dHrow/dix = A1 - A0
+        Ox0, Ox1, wx = _xpair(ix[i], W)
+        A0 = jax.lax.dot_general(
+            win, Ox0.astype(win.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec).reshape(C, WH, W)
-        Hder = jax.lax.dot_general(
-            win, Cxd, (((1,), (1,)), ((), ())),
+        A1 = jax.lax.dot_general(
+            win, Ox1.astype(win.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec).reshape(C, WH, W)
-        M = _yweights(iy[i], yb, W, deriv=False)
-        Md = _yweights(iy[i], yb, W, deriv=True)
+        Hrow = A0 + wx[None, None, :] * (A1 - A0)
+        Hder = A1 - A0
+        Oy0, Oy1, wy = _ypair(iy[i], yb, W)
+        M = Oy0 + wy[None, :] * (Oy1 - Oy0)
+        Md = Oy1 - Oy0
         # d out / d ix = vertical-interp of the horizontal derivative
         cix_ref[0, 0, 0, i, :] = (
             g * (Hder * M[None]).sum(axis=1)).sum(axis=0)
@@ -142,6 +162,10 @@ def _warp_fwd(coords, sources, interpret, prec):
     grid, cspec, sspec, ospec = _specs(n_src, n_scales, B, C, H, W)
     ix = coords[..., 0]
     iy = coords[..., 1]
+    # source dtype carries into the window loads and the MXU pass (bf16 in
+    # -> bf16 window, halving the kernel's dominant VMEM traffic); outputs
+    # and coords stay f32 (f32 8-sublane tiling fits the RT-row blocks,
+    # and accumulation is f32 regardless)
     out = pl.pallas_call(
         partial(_fwd_kernel, H=H, W=W, C=C, prec=prec),
         grid=grid,
@@ -150,7 +174,7 @@ def _warp_fwd(coords, sources, interpret, prec):
         out_shape=jax.ShapeDtypeStruct((n_src, n_scales, B, C, H, W),
                                        jnp.float32),
         interpret=interpret,
-    )(ix, iy, sources.astype(jnp.float32))
+    )(ix, iy, sources)
     return out, (coords, sources)
 
 
@@ -174,7 +198,7 @@ def _warp_bwd(interpret, prec, res, g):
             jax.ShapeDtypeStruct((n_src, n_scales, B, H, W), jnp.float32),
         ],
         interpret=interpret,
-    )(ix, iy, sources.astype(jnp.float32), g.astype(jnp.float32))
+    )(ix, iy, sources, g.astype(jnp.float32))
     cot_coords = jnp.stack([cix, ciy], axis=-1).astype(coords.dtype)
     # sources are DATA in the photometric loss: zero cotangent by design
     return cot_coords, jnp.zeros_like(sources)

@@ -149,10 +149,13 @@ def smoothness_planes(disp, img):
     gdy = jnp.abs(disp[..., :-1, :] - disp[..., 1:, :])
     gix = jnp.abs(img[..., :, :-1] - img[..., :, 1:]).mean(-3)
     giy = jnp.abs(img[..., :-1, :] - img[..., 1:, :]).mean(-3)
-    return (gdx * jnp.exp(-gix)).mean() + (gdy * jnp.exp(-giy)).mean()
+    # f32 accumulation: safe under a bf16 image path
+    return ((gdx * jnp.exp(-gix)).mean(dtype=jnp.float32)
+            + (gdy * jnp.exp(-giy)).mean(dtype=jnp.float32))
 
 
 def normalized_smoothness_planes(disp, color):
     """Mean-normalized disparity smoothness (reference trainer.py:566-571)."""
-    mean_disp = disp.mean(axis=(-2, -1), keepdims=True)
+    mean_disp = disp.mean(axis=(-2, -1), keepdims=True,
+                          dtype=jnp.float32).astype(disp.dtype)
     return smoothness_planes(disp / (mean_disp + 1e-7), color)

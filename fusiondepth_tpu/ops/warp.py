@@ -65,10 +65,9 @@ def warp_planes(sources, grids, *, use_pallas: bool = False,
         ix = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1)
         iy = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1)
         coords = jnp.stack([ix, iy], axis=-1)
-        src32 = sources.astype(jnp.float32)
 
         if mesh is None:
-            out = _warp(coords, src32, interpret, precision)
+            out = _warp(coords, sources, interpret, precision)
         else:
             warped_fn = jax.shard_map(
                 lambda c, s: _warp(c, s, interpret, precision),
@@ -77,7 +76,7 @@ def warp_planes(sources, grids, *, use_pallas: bool = False,
                 out_specs=P(None, None, "data"),
                 check_vma=False,
             )
-            out = warped_fn(coords, src32)
+            out = warped_fn(coords, sources)
         return out.astype(sources.dtype)
 
     return warp_planes_xla(sources, grids)

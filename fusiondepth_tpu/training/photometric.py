@@ -139,9 +139,14 @@ def _generate_images_pred_planes(cfg: Config, batch, outputs, frame_ids,
     # (n_src, n_scales, B, H, W, 2) / (n_src, B, C, H, W)
     grid_stack = jnp.stack([
         jnp.stack([grids[(f, s)] for s in cfg.scales]) for f in src_frames])
+    # bf16 training runs the whole loss image-path in bf16 (halves the HBM
+    # traffic of the warped/SSIM maps — the loss is bandwidth-bound); all
+    # mean-reductions accumulate in f32, and f32 training stays exact
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     sources_p = jnp.stack([
-        to_planes(batch["color"][:, fid_index[f]]) for f in src_frames])
-    target_p = to_planes(batch["color"][:, 0])
+        to_planes(batch["color"][:, fid_index[f]]) for f in src_frames]
+    ).astype(cdt)
+    target_p = to_planes(batch["color"][:, 0]).astype(cdt)
 
     # bf16 training already rounds colors through the MXU, so the default
     # fast matmul precision is numerically consistent (max diff vs exact
@@ -196,14 +201,14 @@ def _compute_losses_planes(cfg: Config, batch, outputs, rng):
             if cfg.avg_reprojection:
                 identity = identity.mean(axis=0, keepdims=True)
             rng, sub = jax.random.split(rng)
-            identity = identity + jax.random.normal(
-                sub, identity.shape) * 1e-5
+            identity = identity + (jax.random.normal(
+                sub, identity.shape) * 1e-5).astype(identity.dtype)
         elif cfg.predictive_mask:
             # Zhou-style learned mask: weight the reprojection losses and
             # pull the mask toward 1 with a BCE term (trainer.py:531-545)
             mask = outputs["predictive_mask"][("disp", scale)]
             mask_p = resize_planes(mask[..., 0], H, W)  # (B, H, W)
-            reproj = reproj * mask_p[None]
+            reproj = reproj * mask_p[None].astype(reproj.dtype)
             eps = 1e-7
             bce = -jnp.log(jnp.clip(mask, eps, 1.0)).mean()
             loss = loss + 0.2 * bce
@@ -226,7 +231,7 @@ def _compute_losses_planes(cfg: Config, batch, outputs, rng):
                 outputs[f"identity_selection/{scale}"] = (
                     idxs >= identity.shape[0]).astype(jnp.float32)
 
-        loss = loss + to_optimise.mean()
+        loss = loss + to_optimise.mean(dtype=jnp.float32)
 
         disp = outputs[("disp", scale)][..., 0]  # (B, Hs, Ws) planes-native
         smooth = normalized_smoothness_planes(disp, pyr[scale])

@@ -251,15 +251,15 @@ def _refine_losses(cfg: Config, batch, outputs, rng):
 
         if not cfg.disable_automasking:
             rng, sub = jax.random.split(rng)
-            identity = identity_maps + jax.random.normal(
-                sub, identity_maps.shape) * 1e-5
+            identity = identity_maps + (jax.random.normal(
+                sub, identity_maps.shape) * 1e-5).astype(identity_maps.dtype)
             combined = jnp.concatenate([identity, reproj], axis=0)
         else:
             combined = reproj
 
         to_optimise = (combined[0] if combined.shape[0] == 1
                        else combined.min(axis=0))
-        loss = loss + to_optimise.mean()
+        loss = loss + to_optimise.mean(dtype=jnp.float32)
 
         smooth = normalized_smoothness_planes(disp, pyr[scale])
         loss = loss + cfg.disparity_smoothness * smooth / (2.0**scale)

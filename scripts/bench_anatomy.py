@@ -52,12 +52,15 @@ def scan_fold(fn, n=SCAN_STEPS):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--stages", default="step,fwd_loss,grad,net_fwd,warp,"
-                                       "warp_grad,reproj_fwd,reproj_grad,"
-                                       "automask")
+    p.add_argument("--stages", default="step,fwd_loss,grad,update,net_fwd,"
+                                       "net_grad,loss_tail,warp,warp_grad,"
+                                       "reproj_fwd,reproj_grad,automask")
     p.add_argument("--batch", type=int, default=12)
     p.add_argument("--pallas", type=int, default=None,
                    help="1/0 override for cfg.pallas_warp")
+    p.add_argument("--costs", action="store_true",
+                   help="print XLA compiled cost analysis per stage "
+                        "(flops + bytes accessed) instead of timing")
     args = p.parse_args()
     stages = args.stages.split(",")
 
@@ -110,6 +113,15 @@ def main():
     def timed(name, fn_c, *fargs):
         """fn_c(carry, *fargs) -> scalar"""
         jfn, n = scan_fold(fn_c)
+        if args.costs:
+            # compile-only: XLA cost analysis (scan body counted once)
+            ca = jfn.lower(*fargs).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            fl = float(ca.get("flops", 0) or 0)
+            by = float(ca.get("bytes accessed", 0) or 0)
+            print(f"{name:12s} {fl/1e12:8.3f} TFLOP  {by/1e9:8.2f} GB")
+            return 0.0
         st = _timeit_stats(lambda: jfn(*fargs), iters=1, warmup=2, trials=3)
         ms = st["median"] / n * 1e3
         print(f"{name:12s} {ms:8.2f} ms  (min {st['min']/n*1e3:.2f} / "
@@ -149,18 +161,90 @@ def main():
         def g(c, p, s, b, r):
             (l, _), grads = gfn(jax.tree.map(lambda x: x + c * 1e-30, p),
                                 s, b, r)
-            return l + jax.tree.leaves(grads)[0].ravel()[0]
+            # full-tree reduction keeps EVERY weight-gradient op alive —
+            # reducing a single leaf lets XLA dead-code-eliminate the
+            # other wgrad convolutions and undercount the backward
+            gs = sum(jnp.sum(x.astype(jnp.float32))
+                     for x in jax.tree.leaves(grads))
+            return l + gs * 1e-20
 
         timed("grad", g, state.params, state.batch_stats, batch, rng)
+
+    if "update" in stages:
+        import optax
+
+        gfn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, _aux), grads0 = jax.jit(gfn)(state.params, state.batch_stats,
+                                         batch, rng)
+
+        def upd(c, gr, opt_state, params):
+            g2 = jax.tree.map(lambda x: x + c * 1e-30, gr)
+            updates, _ = tx.update(g2, opt_state, params)
+            p2 = optax.apply_updates(params, updates)
+            return sum(x.astype(jnp.float32).ravel()[0]
+                       for x in jax.tree.leaves(p2))
+
+        timed("update", upd, grads0, state.opt_state, state.params)
+
+    def _net_reduce(out):
+        # keep BOTH branches alive: disparities AND the pose stack (the
+        # pose encoders are ~2/3 of the conv work; reducing only disp lets
+        # XLA dead-code them)
+        tot = sum(out[("disp", sc)].astype(jnp.float32).mean()
+                  for sc in cfg.scales)
+        for k, v in out.items():
+            if isinstance(k, tuple) and k[0] == "cam_T_cam":
+                tot = tot + v.astype(jnp.float32).sum() * 1e-6
+        return tot
 
     if "net_fwd" in stages:
         def nf(c, v, b):
             bb = dict(b)
             bb["color_aug"] = b["color_aug"] + c * 1e-30
             out, _ = nets.forward(v, bb, train=True)
-            return out[("disp", 0)].mean()
+            return _net_reduce(out)
 
         timed("net_fwd", nf, variables, batch)
+
+    if "net_grad" in stages:
+        # conv nets fwd + FULL bwd (all dgrad + wgrad convs kept alive)
+        def nl(p, s, b):
+            v = combine_variables(p, s)
+            out, _ = nets.forward(v, b, train=True)
+            return _net_reduce(out)
+
+        def ng(c, p, s, b):
+            grads = jax.grad(nl)(jax.tree.map(lambda x: x + c * 1e-30, p),
+                                 s, b)
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree.leaves(grads)) * 1e-20
+
+        timed("net_grad", ng, state.params, state.batch_stats, batch)
+
+    if "loss_tail" in stages:
+        # everything AFTER the conv forward: images_pred (incl. warp) +
+        # compute_losses, differentiated to the disparity/pose outputs
+        from fusiondepth_tpu.training.photometric import compute_losses
+
+        keys0 = [("disp", s) for s in cfg.scales]
+        vals0 = [outputs[k] for k in keys0]
+        rest0 = {k: v for k, v in outputs.items()
+                 if isinstance(k, tuple) and k[0] in
+                 ("cam_T_cam", "axisangle", "translation")}
+
+        def tl(vals, b, r):
+            out = dict(rest0)
+            for k, v in zip(keys0, vals):
+                out[k] = v
+            out = generate_images_pred(cfg, b, out, list(cfg.frame_ids))
+            return compute_losses(cfg, b, out, r)["loss"]
+
+        def tg(c, vals, b, r):
+            vals = [v + c * 1e-30 for v in vals]
+            g = jax.grad(lambda vs: tl(vs, b, r))(vals)
+            return sum(jnp.sum(x.astype(jnp.float32)) for x in g) * 1e-10
+
+        timed("loss_tail", tg, vals0, batch, rng)
 
     if "warp" in stages:
         def w(c, s, g):

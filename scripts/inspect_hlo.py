@@ -1,0 +1,135 @@
+"""Dump the optimized HLO of the conv-net fwd+bwd and summarize where the
+bytes/ops go: op-kind byte totals and the biggest single ops.
+
+Usage: python scripts/inspect_hlo.py [--full path.txt]
+"""
+
+import argparse
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+DT_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
+            "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+
+SHAPE_RE = re.compile(r"(f32|bf16|f16|s32|u32|s64|u8|s8|pred)\[([0-9,]*)\]")
+
+
+def shape_bytes(text):
+    total = 0
+    for dt, dims in SHAPE_RE.findall(text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * DT_BYTES[dt]
+    return total
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--full", default=None, help="also write full HLO here")
+    p.add_argument("--what", default="net_grad",
+                   choices=["net_grad", "step"])
+    args = p.parse_args()
+
+    from fusiondepth_tpu.config import Config
+    from fusiondepth_tpu.data.synthetic import make_batch
+    from fusiondepth_tpu.models.fusion import FusionNets
+    from fusiondepth_tpu.training.train_state import (
+        combine_variables,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    cfg = Config(num_layers=18, height=192, width=640, batch_size=12,
+                 compute_dtype="bfloat16" if on_tpu else "float32",
+                 pallas_warp=on_tpu)
+    nets = FusionNets(cfg)
+    tx = make_optimizer(cfg, 1000)
+    state = create_train_state(cfg, nets, jax.random.PRNGKey(0), tx)
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=12))
+
+    if args.what == "step":
+        step = make_train_step(cfg, nets, tx)
+        lowered = jax.jit(step).lower(state, batch, jax.random.PRNGKey(1))
+    else:
+        def nl(p_, s_, b):
+            v = combine_variables(p_, s_)
+            out, _ = nets.forward(v, b, train=True)
+            tot = sum(out[("disp", sc)].astype(jnp.float32).mean()
+                      for sc in cfg.scales)
+            for k2, v2 in out.items():
+                if isinstance(k2, tuple) and k2[0] == "cam_T_cam":
+                    tot = tot + v2.astype(jnp.float32).sum() * 1e-6
+            return tot
+
+        def ng(p_, s_, b):
+            grads = jax.grad(nl)(p_, s_, b)
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree.leaves(grads))
+
+        lowered = jax.jit(ng).lower(state.params, state.batch_stats, batch)
+
+    compiled = lowered.compile()
+    txt = compiled.as_text()
+    if args.full:
+        open(args.full, "w").write(txt)
+        print(f"full HLO -> {args.full} ({len(txt)} chars)", file=sys.stderr)
+
+    by_kind_bytes = defaultdict(int)
+    by_kind_count = defaultdict(int)
+    ops = []
+    # op kind = first lowercase identifier followed by "(" after the "=";
+    # layout/tile markers (T(8,128), S(3)) are uppercase and skipped
+    kind_re = re.compile(r"\s([a-z][a-z0-9_\-]*)\(")
+    # only ENTRY-computation ops touch HBM; fusion bodies are VMEM-internal
+    in_entry = False
+    for line in txt.splitlines():
+        if line.startswith("ENTRY"):
+            in_entry = True
+            continue
+        if in_entry and line.startswith("}"):
+            in_entry = False
+        line = line.strip()
+        if not in_entry:
+            continue
+        if not line.startswith(("%", "ROOT ")) or " = " not in line:
+            continue
+        rhs = line.split(" = ", 1)[1]
+        m = kind_re.search(rhs)
+        if not m:
+            continue
+        kind = m.group(1)
+        out_part = rhs[:m.start()]  # the (possibly tuple) output shape
+        b_out = shape_bytes(out_part)
+        by_kind_bytes[kind] += b_out
+        by_kind_count[kind] += 1
+        if b_out > 20e6:
+            ops.append((b_out, kind, line[:160]))
+
+    print("== output bytes by op kind (top 15):")
+    for k in sorted(by_kind_bytes, key=by_kind_bytes.get, reverse=True)[:15]:
+        print(f"  {k:24s} {by_kind_bytes[k]/1e9:8.2f} GB out  "
+              f"x{by_kind_count[k]}")
+    print("== biggest single op outputs (top 25):")
+    ops.sort(reverse=True)
+    for b, k, line in ops[:25]:
+        print(f"  {b/1e6:9.1f} MB {line}")
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    print(f"== cost_analysis: flops={float(ca.get('flops', 0))/1e12:.3f}T "
+          f"bytes={float(ca.get('bytes accessed', 0))/1e9:.2f}GB")
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,38 @@ def test_planes_matches_reference(setup, overrides, tol):
                        - float(lr[f"loss/si_loss{s}"])) < tol
 
 
+def test_bf16_loss_close_to_f32(setup):
+    """compute_dtype=bfloat16 runs the loss image-path in bf16 (the TPU
+    training mode); the value must stay close to the f32 formulation."""
+    nets, state = setup
+    cfg32 = Config(**TINY)
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg32, batch_size=2))
+    rng = jax.random.PRNGKey(11)
+    l32 = float(_losses(cfg32, nets, state, batch, rng, False)["loss"])
+    l16 = float(_losses(cfg16, nets, state, batch, rng, False)["loss"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / abs(l32) < 0.05, (l16, l32)
+
+
+def test_pallas_warp_planes_bf16_sources():
+    """bf16 sources ride the kernel's bf16 window path; output matches the
+    f32 XLA gather to bf16 tolerance."""
+    rng = np.random.default_rng(5)
+    n, k, B, C, H, W = 1, 2, 1, 3, 64, 96
+    srcs = jnp.asarray(rng.random((n, B, C, H, W), np.float32))
+    base = np.stack(np.meshgrid(
+        np.linspace(-1, 1, W), np.linspace(-1, 1, H), indexing="xy"), -1)
+    grids = jnp.asarray(
+        base[None, None, None] + rng.uniform(-0.02, 0.02, (n, k, B, H, W, 2))
+    ).astype(jnp.float32)
+    want = np.asarray(warp_planes_xla(srcs, grids))
+    got = np.asarray(warp_planes(srcs.astype(jnp.bfloat16), grids,
+                                 use_pallas=True, interpret=True)
+                     ).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
 def test_ssim_planes_matches_nhwc():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((2, 24, 40, 3), np.float32))

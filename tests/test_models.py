@@ -34,6 +34,27 @@ def test_resnet_encoder_pyramid_shapes(depth):
         assert f.shape == (2, H // s, W // s, c), (lvl, f.shape)
 
 
+def test_resnet_s2d_stem_exact():
+    """The space-to-depth stem rewrite (models/resnet._S2DStemConv) must be
+    numerically equivalent to the strided 7x7 conv1 — same params (the
+    param layout is shared), same features, both even and odd sizes."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, H, W, 3)), jnp.float32)
+    base = ResnetEncoder(depth=18)
+    s2d = ResnetEncoder(depth=18, s2d_stem=True)
+    vs = _init(base, x)
+    f0 = base.apply(vs, x)
+    f1 = s2d.apply(vs, x)  # same variables: param trees are identical
+    for a, b in zip(f0, f1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
+    # odd width falls back to the strided conv (still exact by identity)
+    xo = x[:, :, :-1]
+    np.testing.assert_allclose(np.asarray(base.apply(vs, xo)[0]),
+                               np.asarray(s2d.apply(vs, xo)[0]),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_resnet_encoder_beam_2ch():
     x = jnp.zeros((1, H, W, 2))
     enc = ResnetEncoder(depth=18, in_channels=2)
