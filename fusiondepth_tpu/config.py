@@ -161,6 +161,11 @@ class Config:
     # vertical window WH rows per RT-row block — see ops/pallas_warp.py
     # for the exactness domain). TPU only; gradients flow to coordinates.
     pallas_warp: bool = False
+    # W-folded decoder layout: view (B,H,W,C) as (B,H,W/F,F*C) so the
+    # 16-64 channel decoder stages fill all 128 TPU lanes instead of
+    # 12.5-50% of each tile (ops/folded.py). Exact math reassociation —
+    # outputs match the generic path to dtype tolerance (tests/test_folded.py).
+    folded_decoder: bool = True
     # conv1 as a space-to-depth 4x4/1 conv (exact 7x7/2 rewrite; see
     # models/resnet._S2DStemConv) — avoids the strided-stem wgrad im2col
     # chain XLA emits on TPU. Param shapes unchanged.

@@ -12,6 +12,13 @@ Semantics match reference networks/depth_decoder.py:6-96:
 
 NHWC layout. All control flow is static (python-level on config), so one
 jit trace covers the whole decoder.
+
+`folded=True` runs the standard configuration (no road/cat2end/deep) in
+the W-folded layout of ops/folded.py: the decoder's 16-64-channel stages
+otherwise fill 12.5-50% of each 128-lane TPU tile, running 12x over their
+byte roofline (measured; see ops/folded.py docstring). Parameters are
+IDENTICAL between the two paths (same tree, same shapes, same init), and
+outputs agree to dtype tolerance (tests/test_folded.py).
 """
 
 from __future__ import annotations
@@ -21,10 +28,34 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fusiondepth_tpu.ops.folded import (
+    conv3x3_folded,
+    fold,
+    fold_factor,
+    unfold,
+    upsample2x_folded,
+)
 from fusiondepth_tpu.ops.padding import reflect_pad_hw
 from fusiondepth_tpu.ops.resize import upsample2x_nearest
 
 NUM_CH_DEC = (16, 32, 64, 128, 256)
+
+
+class _RawConv(nn.Module):
+    """Parameter-compatible stand-in for nn.Conv (same names/shapes/init)
+    used by the folded path, which applies the weights itself."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
 
 
 class ConvBlock(nn.Module):
@@ -34,11 +65,21 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = reflect_pad_hw(x, 1)
-        x = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype,
-                    name="conv")(x)
-        return nn.elu(x)
+    def __call__(self, x=None, *, folded_inputs=None, in_ch=None,
+                 fold_F=None):
+        if folded_inputs is None:
+            x = reflect_pad_hw(x, 1)
+            x = nn.Conv(self.features, (3, 3), padding="VALID",
+                        dtype=self.dtype, name="conv")(x)
+            return nn.elu(x)
+        kernel, bias = _RawConv(self.features, sum(in_ch), name="conv")()
+        splits = []
+        o = 0
+        for c in in_ch:
+            splits.append(kernel[:, :, o:o + c].astype(self.dtype))
+            o += c
+        y = conv3x3_folded(folded_inputs, splits, bias=bias, F=fold_F)
+        return nn.elu(y.astype(self.dtype))
 
 
 class Conv3x3(nn.Module):
@@ -48,10 +89,20 @@ class Conv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = reflect_pad_hw(x, 1)
-        return nn.Conv(self.features, (3, 3), padding="VALID",
-                       dtype=self.dtype, name="conv")(x)
+    def __call__(self, x=None, *, folded_inputs=None, in_ch=None,
+                 fold_F=None):
+        if folded_inputs is None:
+            x = reflect_pad_hw(x, 1)
+            return nn.Conv(self.features, (3, 3), padding="VALID",
+                           dtype=self.dtype, name="conv")(x)
+        kernel, bias = _RawConv(self.features, sum(in_ch), name="conv")()
+        splits = []
+        o = 0
+        for c in in_ch:
+            splits.append(kernel[:, :, o:o + c].astype(self.dtype))
+            o += c
+        y = conv3x3_folded(folded_inputs, splits, bias=bias, F=fold_F)
+        return y.astype(self.dtype)
 
 
 class DepthDecoder(nn.Module):
@@ -63,6 +114,7 @@ class DepthDecoder(nn.Module):
     catxy: bool = False
     deep: bool = False
     tanh_head: bool = False
+    folded: bool = False
     dtype: Any = jnp.float32
 
     def _block(self, features, name):
@@ -95,6 +147,12 @@ class DepthDecoder(nn.Module):
         depth_maps: {("disp", i): (B, Hi, Wi, 3[+3])} pseudo-3D injections
         (road mode). Returns {("disp", s): (B, Hs, Ws, C)} for s in scales.
         """
+        if (self.folded and self.use_skips and not self.deep
+                and not self.cat2end and not self.road
+                and depth_maps is None):
+            return self._folded_forward(input_features, beam_features,
+                                        two_channel)
+
         outputs = {}
         if beam_features is not None:
             x = input_features[-1] + beam_features[-1]
@@ -121,6 +179,57 @@ class DepthDecoder(nn.Module):
                         [x, two_channel.astype(self.dtype)], axis=-1)
                 d = Conv3x3(self.num_output_channels, dtype=self.dtype,
                             name=f"dispconv_{i}")(head_in)
+                if self.tanh_head:
+                    outputs[("disp", i)] = jnp.tanh(d)
+                else:
+                    outputs[("disp", i)] = nn.sigmoid(d)
+
+        return outputs
+
+    def _folded_forward(self, input_features, beam_features, two_channel):
+        """Same math as the generic path, in the W-folded layout; one
+        refold (free reshape) after each upconv0 keeps every stage's lane
+        occupancy at 100% where W divisibility allows."""
+        del two_channel  # cat2end handled by the generic path
+        outputs = {}
+
+        def skip_at(i):
+            s = input_features[i]
+            if beam_features is not None:
+                s = s + beam_features[i]
+            return s.astype(self.dtype)
+
+        x = skip_at(4) if beam_features is not None else input_features[-1]
+        x = x.astype(self.dtype)
+        C = x.shape[-1]
+        F = fold_factor(C, x.shape[2])
+        xf = fold(x, F)
+
+        for i in range(4, -1, -1):
+            co = NUM_CH_DEC[i]
+            xf = ConvBlock(co, dtype=self.dtype, name=f"upconv_{i}_0")(
+                folded_inputs=[xf], in_ch=[C], fold_F=F)
+            C = co
+            # refold to the densest F the (pre-upsample) width allows
+            W_now = xf.shape[2] * F
+            Fn = fold_factor(C, W_now)
+            if Fn != F:
+                xf = fold(unfold(xf, C), Fn)
+                F = Fn
+            xf = upsample2x_folded(xf, F, C)
+            ins, chs = [xf], [C]
+            if self.use_skips and i > 0:
+                sk = skip_at(i - 1)
+                ins.append(fold(sk, F))
+                chs.append(sk.shape[-1])
+            xf = ConvBlock(co, dtype=self.dtype, name=f"upconv_{i}_1")(
+                folded_inputs=ins, in_ch=chs, fold_F=F)
+            C = co
+            if i in self.scales:
+                d = Conv3x3(self.num_output_channels, dtype=self.dtype,
+                            name=f"dispconv_{i}")(
+                    folded_inputs=[xf], in_ch=[C], fold_F=F)
+                d = unfold(d, self.num_output_channels)
                 if self.tanh_head:
                     outputs[("disp", i)] = jnp.tanh(d)
                 else:

@@ -68,7 +68,8 @@ class FusionNets:
                 in_channels=2 * cfg.num_pose_frames, s2d_stem=s2d, dtype=dt)
 
         self.depth = DepthDecoder(scales=tuple(cfg.scales),
-                                  cat2end=cfg.cat2end, dtype=dt)
+                                  cat2end=cfg.cat2end,
+                                  folded=cfg.folded_decoder, dtype=dt)
 
         self.predictive_mask = None
         if cfg.predictive_mask:
@@ -77,7 +78,8 @@ class FusionNets:
                 "(reference trainer.py:118-120)")
             self.predictive_mask = DepthDecoder(
                 scales=tuple(cfg.scales),
-                num_output_channels=len(cfg.frame_ids) - 1, dtype=dt)
+                num_output_channels=len(cfg.frame_ids) - 1,
+                folded=cfg.folded_decoder, dtype=dt)
 
         self.pose_encoder = None
         self.pose = None

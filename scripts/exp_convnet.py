@@ -36,6 +36,8 @@ def main():
                                        "enc3_grad,enc3_s2d,enc3_s2d_grad,"
                                        "enc6,dec,nets")
     p.add_argument("--batch", type=int, default=12)
+    p.add_argument("--costs", action="store_true",
+                   help="XLA compiled cost analysis instead of timing")
     args = p.parse_args()
     pieces = args.pieces.split(",")
     B = args.batch
@@ -56,6 +58,15 @@ def main():
 
     def timed(name, fn_c, *fargs, flops=None):
         jfn, n = scan_fold(fn_c)
+        if args.costs:
+            ca = jfn.lower(*fargs).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            fl = float(ca.get("flops", 0) or 0)
+            by = float(ca.get("bytes accessed", 0) or 0)
+            print(f"{name:14s} {fl/1e9:8.1f} GF  {by/1e9:8.2f} GB  "
+                  f"(byte-roofline {by/819e9*1e3:6.2f} ms)", flush=True)
+            return
         st = _timeit_stats(lambda: jfn(*fargs), iters=1, warmup=2, trials=3)
         ms = st["median"] / n * 1e3
         extra = ""
@@ -75,6 +86,169 @@ def main():
             return m.apply(v, x + c * 1e-30).astype(jnp.float32).mean()
 
         timed("conv64", f, v, x, flops=2 * 9 * 64 * 64 * 48 * 160 * B)
+
+    if "mm576" in pieces:
+        # the SAME contraction a 3x3 64->64 conv @48x160 b12 performs, as a
+        # plain matmul over pre-formed patches: isolates conv-lowering
+        # overhead from MXU capability
+        a = jnp.zeros((B * 48 * 160, 576), dt)
+        w = jnp.zeros((576, 64), dt)
+
+        def f(c, a, w):
+            return (a + c * 1e-30) @ w
+
+        def g(c, a, w):
+            return f(c, a, w).astype(jnp.float32).mean()
+
+        timed("mm576", g, a, w, flops=2 * B * 48 * 160 * 576 * 64)
+
+    if "conv128" in pieces:
+        import flax.linen as nn
+
+        m = nn.Conv(128, (3, 3), padding=1, use_bias=False, dtype=dt)
+        x = jnp.zeros((B, 24, 80, 128), dt)
+        v = m.init(rng, x)
+
+        def f(c, v, x):
+            return m.apply(v, x + c * 1e-30).astype(jnp.float32).mean()
+
+        timed("conv128", f, v, x, flops=2 * 9 * 128 * 128 * 24 * 80 * B)
+
+    if "conv16" in pieces:
+        import flax.linen as nn
+
+        # decoder stage-0 size: full res, 16 channels
+        m = nn.Conv(16, (3, 3), padding=1, use_bias=False, dtype=dt)
+        x = jnp.zeros((B, 192, 640, 16), dt)
+        v = m.init(rng, x)
+
+        def f(c, v, x):
+            return m.apply(v, x + c * 1e-30).astype(jnp.float32).mean()
+
+        timed("conv16", f, v, x, flops=2 * 9 * 16 * 16 * 192 * 640 * B)
+
+    if "conv16f" in pieces:
+        # folded conv: (B,H,W,16) viewed as (B,H,W/8,128) [free bitcast in
+        # (W,C)-contiguous layout]; the 3x3 16->16 conv becomes a 3x3
+        # 128->128 conv whose kernel holds w on the fold-band (dx = 8*(dxf-1)
+        # + pi - po in [-1,1]) and zeros elsewhere. 8x the MACs, but full
+        # lane occupancy and dense bytes.
+        F = 8
+        C = 16
+        w = jnp.zeros((3, 3, C, C), dt)
+
+        def fold_kernel(w):
+            wf = jnp.zeros((3, 3, F * C, F * C), dt)
+            for dxf in range(3):
+                for pi in range(F):
+                    for po in range(F):
+                        dx = 8 * (dxf - 1) + pi - po
+                        if -1 <= dx <= 1:
+                            wf = wf.at[:, dxf, pi * C:(pi + 1) * C,
+                                       po * C:(po + 1) * C].set(
+                                           w[:, dx + 1])
+            return wf
+
+        x = jnp.zeros((B, 192, 640 // F, F * C), dt)
+
+        def f(c, w, x):
+            wf = fold_kernel(w)
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(x.dtype) * 1e-30, wf, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y.astype(jnp.float32).mean()
+
+        timed("conv16f", f, w, x, flops=2 * 9 * 16 * 16 * 192 * 640 * B)
+
+    if "conv16t" in pieces:
+        # NHCW layout probe: W minor (dense lanes), C in sublanes
+        import flax.linen as nn
+
+        w = jnp.zeros((3, 3, 16, 16), dt)
+        x = jnp.zeros((B, 192, 16, 640), dt)
+
+        def f(c, w, x):
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(x.dtype) * 1e-30, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHCW", "HWIO", "NHCW"))
+            return y.astype(jnp.float32).mean()
+
+        timed("conv16t", f, w, x, flops=2 * 9 * 16 * 16 * 192 * 640 * B)
+
+    if "cb16" in pieces:
+        from fusiondepth_tpu.models.depth_decoder import ConvBlock
+
+        m = ConvBlock(16, dtype=dt)
+        x = jnp.zeros((B, 192, 640, 16), dt)
+        v = m.init(rng, x)
+
+        def f(c, v, x):
+            return m.apply(v, x + c * 1e-30).astype(jnp.float32).mean()
+
+        timed("cb16", f, v, x, flops=2 * 9 * 16 * 16 * 192 * 640 * B)
+
+    if "up16" in pieces:
+        from fusiondepth_tpu.ops.resize import upsample2x_nearest
+
+        x = jnp.zeros((B, 96, 320, 16), dt)
+
+        def f(c, x):
+            return upsample2x_nearest(x + c * 1e-30).astype(
+                jnp.float32).mean()
+
+        timed("up16", f, x, flops=0)
+
+    if "dec_grad" in pieces:
+        feats_g = [jnp.zeros((B, 96, 320, 64), dt),
+                   jnp.zeros((B, 48, 160, 64), dt),
+                   jnp.zeros((B, 24, 80, 128), dt),
+                   jnp.zeros((B, 12, 40, 256), dt),
+                   jnp.zeros((B, 6, 20, 512), dt)]
+        dec_g = DepthDecoder(dtype=dt)
+        vdg = dec_g.init(rng, feats_g)
+
+        def dg(c, v, fs):
+            def l(p):
+                out = dec_g.apply({"params": p["params"]},
+                                  [t + c * 1e-30 for t in fs])
+                return sum(t.astype(jnp.float32).mean()
+                           for t in out.values())
+            gr = jax.grad(l)(v)
+            return sum(jnp.sum(t.astype(jnp.float32))
+                       for t in jax.tree.leaves(gr)) * 1e-20
+
+        timed("dec_grad", dg, vdg, feats_g, flops=150e9)
+
+    if "decf" in pieces or "dec_gradf" in pieces:
+        feats_g = [jnp.zeros((B, 96, 320, 64), dt),
+                   jnp.zeros((B, 48, 160, 64), dt),
+                   jnp.zeros((B, 24, 80, 128), dt),
+                   jnp.zeros((B, 12, 40, 256), dt),
+                   jnp.zeros((B, 6, 20, 512), dt)]
+        dec_f = DepthDecoder(dtype=dt, folded=True)
+        vdf = dec_f.init(rng, feats_g)
+
+        if "decf" in pieces:
+            def ff(c, v, fs):
+                fs = [t + c * 1e-30 for t in fs]
+                out = dec_f.apply(v, fs)
+                return sum(t.astype(jnp.float32).mean()
+                           for t in out.values())
+
+            timed("decf", ff, vdf, feats_g, flops=50e9)
+
+        if "dec_gradf" in pieces:
+            def dgf(c, v, fs):
+                def l(p):
+                    out = dec_f.apply({"params": p["params"]},
+                                      [t + c * 1e-30 for t in fs])
+                    return sum(t.astype(jnp.float32).mean()
+                               for t in out.values())
+                gr = jax.grad(l)(v)
+                return sum(jnp.sum(t.astype(jnp.float32))
+                           for t in jax.tree.leaves(gr)) * 1e-20
+
+            timed("dec_gradf", dgf, vdf, feats_g, flops=150e9)
 
     if "conv256" in pieces:
         import flax.linen as nn

@@ -36,7 +36,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--full", default=None, help="also write full HLO here")
     p.add_argument("--what", default="net_grad",
-                   choices=["net_grad", "step"])
+                   choices=["net_grad", "step", "dec", "dec_grad"])
     args = p.parse_args()
 
     from fusiondepth_tpu.config import Config
@@ -61,6 +61,32 @@ def main():
     if args.what == "step":
         step = make_train_step(cfg, nets, tx)
         lowered = jax.jit(step).lower(state, batch, jax.random.PRNGKey(1))
+    elif args.what in ("dec", "dec_grad"):
+        from fusiondepth_tpu.models.depth_decoder import DepthDecoder
+
+        B = cfg.batch_size
+        dt = jnp.bfloat16 if on_tpu else jnp.float32
+        feats = [jnp.zeros((B, 96, 320, 64), dt),
+                 jnp.zeros((B, 48, 160, 64), dt),
+                 jnp.zeros((B, 24, 80, 128), dt),
+                 jnp.zeros((B, 12, 40, 256), dt),
+                 jnp.zeros((B, 6, 20, 512), dt)]
+        dec = DepthDecoder(dtype=dt)
+        vd = dec.init(jax.random.PRNGKey(0), feats)
+
+        def dfwd(v, fs):
+            out = dec.apply(v, fs)
+            return sum(t.astype(jnp.float32).mean() for t in out.values())
+
+        if args.what == "dec":
+            lowered = jax.jit(dfwd).lower(vd, feats)
+        else:
+            def dgrad(v, fs):
+                gr = jax.grad(dfwd)(v, fs)
+                return sum(jnp.sum(t.astype(jnp.float32))
+                           for t in jax.tree.leaves(gr))
+
+            lowered = jax.jit(dgrad).lower(vd, feats)
     else:
         def nl(p_, s_, b):
             v = combine_variables(p_, s_)
