@@ -16,7 +16,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +82,11 @@ class _S2DStemConv(nn.Module):
         return jax.lax.conv_general_dilated(
             xs, w4, (1, 1), ((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+from fusiondepth_tpu.ops.pooling import max_pool_3x3s2  # noqa: E402
+# (re-exported here for probes/tests; implementation + custom VJP live in
+# ops/pooling.py — see its docstring for the TPU layout rationale)
 
 
 class _BasicBlock(nn.Module):
@@ -157,6 +162,7 @@ class ResnetEncoder(nn.Module):
     in_channels: int = 3
     normalize_input: bool = True
     s2d_stem: bool = False
+    truncate_at: Optional[int] = None  # perf-probe: stop after N stages
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -164,10 +170,13 @@ class ResnetEncoder(nn.Module):
         stages = RESNET_STAGES[self.depth]
         bottleneck = self.depth > 34
         block = _Bottleneck if bottleneck else _BasicBlock
+        stop = self.truncate_at
 
         if self.normalize_input:
             x = (x - 0.45) / 0.225
         x = x.astype(self.dtype)
+        if stop == 0:
+            return [x]
 
         features = []
         if self.s2d_stem:
@@ -175,24 +184,18 @@ class ResnetEncoder(nn.Module):
         else:
             y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                         dtype=self.dtype, name="conv1")(x)
+        if stop == 1:
+            return [y]
         y = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         features.append(y)
+        if stop == 2:
+            return features
 
-        # torch MaxPool2d(3, 2, padding=1) as shifted-slice max: reduce_window
-        # (what nn.max_pool lowers to) lacks a linearization rule under jit
-        # in this JAX version; the explicit max fuses just as well.
-        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf)
-        Ho = (y.shape[1] - 3) // 2 + 1
-        Wo = (y.shape[2] - 3) // 2 + 1
-        m = None
-        for di in range(3):
-            for dj in range(3):
-                t = y[:, di:di + 2 * Ho - 1:2, dj:dj + 2 * Wo - 1:2, :]
-                m = t if m is None else jnp.maximum(m, t)
-        y = m
+        y = max_pool_3x3s2(y)
+        if stop == 3:
+            return features + [y]
 
         widths = (64, 128, 256, 512)
         for stage_i, (w, n_blocks) in enumerate(zip(widths, stages)):
@@ -201,5 +204,7 @@ class ResnetEncoder(nn.Module):
                 y = block(w, stride, dtype=self.dtype,
                           name=f"layer{stage_i + 1}_{block_i}")(y, train)
             features.append(y)
+            if stop == 4 + stage_i:
+                return features
 
         return features

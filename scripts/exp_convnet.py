@@ -262,6 +262,95 @@ def main():
 
         timed("conv256", f, v, x, flops=2 * 9 * 256 * 256 * 12 * 40 * B)
 
+    if "stem7" in pieces or "stem7_grad" in pieces:
+        w7 = jnp.zeros((7, 7, 3, 64), dt)
+        x7 = jnp.zeros((B, 192, 640, 3), dt)
+
+        def stem_f(c, w, x):
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(x.dtype) * 1e-30, w, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y.astype(jnp.float32).mean()
+
+        if "stem7" in pieces:
+            timed("stem7", stem_f, w7, x7,
+                  flops=2 * 49 * 3 * 64 * 96 * 320 * B)
+
+        if "stem7_grad" in pieces:
+            def stem_g(c, w, x):
+                gw = jax.grad(lambda ww: stem_f(c, ww, x))(w)
+                return jnp.sum(gw.astype(jnp.float32)) * 1e-20
+
+            timed("stem7_grad", stem_g, w7, x7,
+                  flops=2 * 2 * 49 * 3 * 64 * 96 * 320 * B)
+
+    if "pool_grad" in pieces or "pool" in pieces:
+        from fusiondepth_tpu.models.resnet import ResnetEncoder as _RE  # noqa
+        xp_ = jnp.zeros((B, 96, 320, 64), dt)
+
+        def pool_f(c, y):
+            y = y + c.astype(y.dtype) * 1e-30
+            y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        constant_values=-jnp.inf)
+            Ho = (y.shape[1] - 3) // 2 + 1
+            Wo = (y.shape[2] - 3) // 2 + 1
+            m = None
+            for di in range(3):
+                for dj in range(3):
+                    t = y[:, di:di + 2 * Ho - 1:2, dj:dj + 2 * Wo - 1:2, :]
+                    m = t if m is None else jnp.maximum(m, t)
+            return m.astype(jnp.float32).mean()
+
+        if "pool" in pieces:
+            timed("pool", pool_f, xp_, flops=0)
+
+        if "pool_grad" in pieces:
+            def pool_g(c, y):
+                g = jax.grad(lambda t: pool_f(c, t))(y)
+                return jnp.sum(g.astype(jnp.float32)) * 1e-20
+
+            timed("pool_grad", pool_g, xp_, flops=0)
+
+    if "pool2" in pieces or "pool2_grad" in pieces:
+        from fusiondepth_tpu.models.resnet import max_pool_3x3s2
+
+        xp2 = jnp.zeros((B, 96, 320, 64), dt)
+
+        def pool2_f(c, y):
+            return max_pool_3x3s2(y + c.astype(y.dtype) * 1e-30).astype(
+                jnp.float32).mean()
+
+        if "pool2" in pieces:
+            timed("pool2", pool2_f, xp2, flops=0)
+
+        if "pool2_grad" in pieces:
+            def pool2_g(c, y):
+                g = jax.grad(lambda t: pool2_f(c, t))(y)
+                return jnp.sum(g.astype(jnp.float32)) * 1e-20
+
+            timed("pool2_grad", pool2_g, xp2, flops=0)
+
+    if "l1_grad" in pieces:
+        from fusiondepth_tpu.models.resnet import _BasicBlock
+
+        xl = jnp.zeros((B, 48, 160, 64), dt)
+        blocks = [_BasicBlock(64, dtype=dt) for _ in range(2)]
+        vs = [b.init(rng, xl, train=True) for b in blocks]
+
+        def l1_f(c, vs, x):
+            y = x + c.astype(x.dtype) * 1e-30
+            for b, v in zip(blocks, vs):
+                y, _ = b.apply(v, y, train=True, mutable=["batch_stats"])
+            return y.astype(jnp.float32).mean()
+
+        def l1_g(c, vs, x):
+            g = jax.grad(lambda v: l1_f(c, v, x))(vs)
+            return sum(jnp.sum(t.astype(jnp.float32))
+                       for t in jax.tree.leaves(g)) * 1e-20
+
+        timed("l1_grad", l1_g, vs, xl,
+              flops=3 * 4 * 2 * 9 * 64 * 64 * 48 * 160 * B)
+
     enc = ResnetEncoder(depth=18, in_channels=3, dtype=dt)
     x3 = jnp.zeros((B, 192, 640, 3), jnp.float32)
     v3 = enc.init(rng, x3, train=True)
@@ -292,6 +381,26 @@ def main():
     if "enc3_grad" in pieces:
         timed("enc3_grad", lambda c, v, x: _enc_grad(enc, c, v, x), v3, x3,
               flops=3 * ENC_GF)
+
+    for pc in pieces:
+        # pfxK / pfxK_f: encoder truncated after stage K (1=conv1, 2=+bn/relu,
+        # 3=+pool, 4..7=layer1..4), grad (or fwd) — in-context marginal cost
+        # of each stage is the successive difference
+        if not pc.startswith("pfx"):
+            continue
+        fwd_only = pc.endswith("_f")
+        k = int(pc[3:-2] if fwd_only else pc[3:])
+        enc_k = ResnetEncoder(depth=18, in_channels=3, truncate_at=k,
+                              dtype=dt)
+        v_k = dict(enc_k.init(rng, jnp.zeros((B, 192, 640, 3), jnp.float32),
+                              train=True))
+        v_k.setdefault("batch_stats", {})
+        if fwd_only:
+            timed(pc, lambda c, v, x, m=enc_k: _enc_fwd(m, c, v, x, True),
+                  v_k, x3)
+        else:
+            timed(pc, lambda c, v, x, m=enc_k: _enc_grad(m, c, v, x),
+                  v_k, x3)
 
     if "enc3_s2d" in pieces or "enc3_s2d_grad" in pieces:
         enc_s = ResnetEncoder(depth=18, in_channels=3, s2d_stem=True,

@@ -233,3 +233,37 @@ def test_grid_sample_grad_flows():
 
     g = jax.grad(f)(grid)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 64, 8), (1, 33, 65, 4)])
+def test_max_pool_3x3s2_matches_torch(shape):
+    """The ResNet stem pool (torch MaxPool2d(3, 2, padding=1)): forward
+    bit-exact vs torch, and the custom-VJP backward matches torch's
+    gradient wherever the window max is unique."""
+    from fusiondepth_tpu.ops.pooling import max_pool_3x3s2
+
+    x = RNG.standard_normal(shape).astype(np.float32)
+    xj = jnp.asarray(x)
+    out = max_pool_3x3s2(xj)
+    xt = nchw(x).requires_grad_(True)
+    yt = F.max_pool2d(xt, 3, 2, 1)
+    np.testing.assert_array_equal(np.asarray(out), nhwc(yt.detach()))
+
+    g = RNG.standard_normal(out.shape).astype(np.float32)
+    _, vjp = jax.vjp(max_pool_3x3s2, xj)
+    gin = np.asarray(vjp(jnp.asarray(g))[0])
+    yt.backward(nchw(g))
+    np.testing.assert_allclose(gin, nhwc(xt.grad.detach()), atol=1e-6)
+
+
+def test_max_pool_3x3s2_tie_gradient_conserved():
+    """On exact ties the custom VJP splits g/count among all argmaxes —
+    per-window gradient mass is conserved (sum of grad-in == sum of g)."""
+    from fusiondepth_tpu.ops.pooling import max_pool_3x3s2
+
+    x = jnp.ones((1, 8, 8, 4), jnp.float32)
+    out = max_pool_3x3s2(x)
+    g = jnp.asarray(RNG.standard_normal(out.shape).astype(np.float32))
+    _, vjp = jax.vjp(max_pool_3x3s2, x)
+    gin = vjp(g)[0]
+    np.testing.assert_allclose(float(gin.sum()), float(g.sum()), rtol=1e-5)
