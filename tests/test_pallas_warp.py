@@ -77,3 +77,35 @@ def test_source_cotangent_is_zero_by_design():
 
     g = jax.grad(loss)(srcs[0])
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_gather_backend_matches_banded_interpret():
+    """The dynamic-gather warp backend (ops/pallas_warp_gather.py) matches
+    the banded-MXU kernel exactly — same windowing contract, same
+    coordinate cotangents — in interpret mode."""
+    import numpy as np
+
+    from fusiondepth_tpu.ops.pallas_warp import _warp
+    from fusiondepth_tpu.ops.pallas_warp_gather import _warp_gather
+
+    n, k, B, C, H, W = 2, 2, 1, 3, 64, 128
+    rng = np.random.RandomState(0)
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    ix = (jj[None, None, None]
+          + rng.uniform(-12, 12, (n, k, B, H, W))).clip(0, W - 1)
+    iy = (ii[None, None, None]
+          + rng.uniform(-4, 4, (n, k, B, H, W))).clip(0, H - 1)
+    coords = jnp.asarray(np.stack([ix, iy], -1).astype(np.float32))
+    src = jnp.asarray(rng.standard_normal((n, B, C, H, W)).astype(np.float32))
+    prec = jax.lax.Precision.HIGHEST
+
+    o_band = _warp(coords, src, True, prec)
+    o_gath = _warp_gather(coords, src, True, prec)
+    np.testing.assert_allclose(np.asarray(o_gath), np.asarray(o_band),
+                               atol=2e-6)
+
+    g = jnp.asarray(rng.standard_normal(o_band.shape).astype(np.float32))
+    _, vb = jax.vjp(lambda c: _warp(c, src, True, prec), coords)
+    _, vg = jax.vjp(lambda c: _warp_gather(c, src, True, prec), coords)
+    np.testing.assert_allclose(np.asarray(vg(g)[0]), np.asarray(vb(g)[0]),
+                               atol=1e-5)
