@@ -161,6 +161,11 @@ class Config:
     # vertical window WH rows per RT-row block — see ops/pallas_warp.py
     # for the exactness domain). TPU only; gradients flow to coordinates.
     pallas_warp: bool = False
+    # Which Pallas warp kernel: "banded" (one-hot MXU matmuls,
+    # ops/pallas_warp.py) or "gather" (tpu.dynamic_gather crossbars,
+    # ops/pallas_warp_gather.py — ~5x less arithmetic, VPU-bound). Same
+    # windowing contract and numerics either way (tests/test_pallas_warp).
+    pallas_warp_backend: str = "banded"
     # W-folded decoder layout: view (B,H,W,C) as (B,H,W/F,F*C) so the
     # 16-64 channel decoder stages fill all 128 TPU lanes instead of
     # 12.5-50% of each tile (ops/folded.py). Exact math reassociation —

@@ -46,19 +46,27 @@ def pallas_ok(height: int, width: int) -> bool:
 
 def warp_planes(sources, grids, *, use_pallas: bool = False,
                 precision=jax.lax.Precision.HIGHEST,
-                mesh: Mesh | None = None, interpret: bool = False):
+                mesh: Mesh | None = None, interpret: bool = False,
+                backend: str = "banded"):
     """Warp each source by each grid; see module docstring for shapes.
 
-    use_pallas selects the banded MXU kernel (TPU); `mesh` (a 1-D data mesh)
-    wraps it in shard_map over the batch axis. Falls back to the XLA gather
-    path when the kernel's windowing preconditions don't hold.
+    use_pallas selects the Pallas kernel (TPU); `backend` picks "banded"
+    (one-hot MXU matmuls) or "gather" (tpu.dynamic_gather crossbars) —
+    same windowing contract and numerics. `mesh` (a 1-D data mesh) wraps
+    the kernel in shard_map over the batch axis. Falls back to the XLA
+    gather path when the kernel's windowing preconditions don't hold.
     """
     n, B, C, H, W = sources.shape
     assert grids.shape[0] == n and grids.shape[2] == B, (sources.shape,
                                                          grids.shape)
     if use_pallas and pallas_ok(H, W) and (mesh is None
                                            or _data_only_mesh(mesh)):
-        from fusiondepth_tpu.ops.pallas_warp import _warp
+        if backend == "gather":
+            from fusiondepth_tpu.ops.pallas_warp_gather import (
+                _warp_gather as _warp,
+            )
+        else:
+            from fusiondepth_tpu.ops.pallas_warp import _warp
 
         gx = grids[..., 0].astype(jnp.float32)
         gy = grids[..., 1].astype(jnp.float32)

@@ -154,7 +154,8 @@ def _generate_images_pred_planes(cfg: Config, batch, outputs, frame_ids,
     prec = (jax.lax.Precision.DEFAULT if cfg.compute_dtype == "bfloat16"
             else jax.lax.Precision.HIGHEST)
     warped = warp_planes(sources_p, grid_stack, use_pallas=cfg.pallas_warp,
-                         precision=prec, mesh=mesh)
+                         precision=prec, mesh=mesh,
+                         backend=cfg.pallas_warp_backend)
 
     outputs["warped_planes"] = warped      # (n, k, B, C, H, W)
     outputs["sources_planes"] = sources_p  # (n, B, C, H, W)
