@@ -166,6 +166,13 @@ class Config:
     # ops/pallas_warp_gather.py — ~5x less arithmetic, VPU-bound). Same
     # windowing contract and numerics either way (tests/test_pallas_warp).
     pallas_warp_backend: str = "banded"
+    # Run the depth+beam (and pose+beam-pose) encoder pairs as single
+    # grouped-conv passes with block-grouped kernels (models/paired.py):
+    # every C=64 conv fills all 128 lanes and the pass count halves.
+    # Exact math (groups never mix channels; both consumers use the
+    # additive fusion of the pair). Applies when beam_encoder is on,
+    # depth<=34, separate_resnet pose, no s2d stem/predictive_mask.
+    paired_encoders: bool = False
     # W-folded decoder layout: view (B,H,W,C) as (B,H,W/F,F*C) so the
     # 16-64 channel decoder stages fill all 128 TPU lanes instead of
     # 12.5-50% of each tile (ops/folded.py). Exact math reassociation —

@@ -169,6 +169,18 @@ class FusionNets:
             return out, updates
         return module.apply(variables, *args, train=False, **kwargs), None
 
+    def _paired_depth_ok(self) -> bool:
+        cfg = self.cfg
+        return (cfg.paired_encoders and cfg.beam_encoder
+                and cfg.num_layers <= 34 and not cfg.s2d_stem
+                and self.predictive_mask is None)
+
+    def _paired_pose_ok(self) -> bool:
+        cfg = self.cfg
+        return (cfg.paired_encoders and cfg.beam_encoder
+                and self.pose_depth <= 34 and not cfg.s2d_stem
+                and cfg.pose_model_type == "separate_resnet")
+
     def forward_depth(self, variables, batch, train: bool):
         """Depth branch: encoder (+beam encoder) -> decoder disparities.
 
@@ -185,6 +197,31 @@ class FusionNets:
                 [color0, batch["two_channel"][:, 0]], axis=-1)
         else:
             enc_in = color0
+
+        if self._paired_depth_ok():
+            from fusiondepth_tpu.models.paired import (
+                paired_resnet_apply,
+                sum_halves,
+            )
+
+            paired, upd_a, upd_b = paired_resnet_apply(
+                cfg.num_layers, variables["encoder"],
+                variables["beam_encoder"], enc_in,
+                batch["two_channel"][:, 0], train=train,
+                dtype=self.encoder.dtype)
+            if train:
+                updates["encoder"] = upd_a
+                updates["beam_encoder"] = upd_b
+            # the decoder fuses beam features ADDITIVELY at every level
+            # (depth_decoder.py), so pass the summed halves as features
+            feats = [sum_halves(p) for p in paired]
+            beam_feats = None
+            two_ch = batch["two_channel"][:, 0] if cfg.cat2end else None
+            outputs = self.depth.apply(
+                variables["depth"], feats, two_channel=two_ch,
+                beam_features=None)
+            return outputs, feats, updates
+
         feats, upd = self._apply(self.encoder, variables["encoder"], enc_in,
                                  train=train)
         if upd:
@@ -249,26 +286,53 @@ class FusionNets:
                         [batch["color_aug"][:, fid_index[a]],
                          batch["color_aug"][:, fid_index[b]]], axis=-1)
                     for a, b in pairs], axis=0)  # (P*B, H, W, 6)
-                pe_feats, upd = self._apply(
-                    self.pose_encoder, variables["pose_encoder"], pe_in,
-                    train=train)
-                if upd:
-                    updates["pose_encoder"] = upd
-                beam_last = None
-                if cfg.beam_encoder:
+                if self._paired_pose_ok():
+                    from fusiondepth_tpu.models.paired import (
+                        paired_resnet_apply,
+                        sum_halves,
+                    )
+
                     bp_in = jnp.concatenate([
                         jnp.concatenate(
                             [batch["two_channel"][:, fid_index[a]],
                              batch["two_channel"][:, fid_index[b]]], axis=-1)
                         for a, b in pairs], axis=0)
-                    bp_feats, upd = self._apply(
-                        self.beam_encoder_pose,
-                        variables["beam_encoder_pose"], bp_in, train=train)
+                    paired, upd_pe, upd_bp = paired_resnet_apply(
+                        self.pose_depth, variables["pose_encoder"],
+                        variables["beam_encoder_pose"], pe_in, bp_in,
+                        train=train, dtype=self.pose_encoder.dtype)
+                    if train:
+                        updates["pose_encoder"] = upd_pe
+                        updates["beam_encoder_pose"] = upd_bp
+                    # pose decoder fuses the beam last feature ADDITIVELY
+                    # (pose.py) -> pass the summed halves
+                    pe_last = sum_halves(paired[-1])
+                    aa, t = self.pose.apply(variables["pose"], [pe_last],
+                                            beam_last_feature=None)
+                else:
+                    pe_feats, upd = self._apply(
+                        self.pose_encoder, variables["pose_encoder"], pe_in,
+                        train=train)
                     if upd:
-                        updates["beam_encoder_pose"] = upd
-                    beam_last = bp_feats[-1]
-                aa, t = self.pose.apply(variables["pose"], [pe_feats[-1]],
-                                        beam_last_feature=beam_last)
+                        updates["pose_encoder"] = upd
+                    beam_last = None
+                    if cfg.beam_encoder:
+                        bp_in = jnp.concatenate([
+                            jnp.concatenate(
+                                [batch["two_channel"][:, fid_index[a]],
+                                 batch["two_channel"][:, fid_index[b]]],
+                                axis=-1)
+                            for a, b in pairs], axis=0)
+                        bp_feats, upd = self._apply(
+                            self.beam_encoder_pose,
+                            variables["beam_encoder_pose"], bp_in,
+                            train=train)
+                        if upd:
+                            updates["beam_encoder_pose"] = upd
+                        beam_last = bp_feats[-1]
+                    aa, t = self.pose.apply(variables["pose"],
+                                            [pe_feats[-1]],
+                                            beam_last_feature=beam_last)
                 for pi, f_i in enumerate(temporal):
                     aa_i = aa[pi * B:(pi + 1) * B]
                     t_i = t[pi * B:(pi + 1) * B]

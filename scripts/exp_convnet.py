@@ -87,6 +87,47 @@ def main():
 
         timed("conv64", f, v, x, flops=2 * 9 * 64 * 64 * 48 * 160 * B)
 
+    if "convg" in pieces:
+        # 2-group conv at C=128 vs two separate C=64 convs: if XLA lowers
+        # feature_group_count=2 as one full-lane-density pass, pairing the
+        # depth+beam (and pose+beam-pose) encoders halves encoder time
+        w2 = jnp.zeros((3, 3, 64, 128), dt)  # grouped kernel: in C/g=64
+        xg = jnp.zeros((B, 48, 160, 128), dt)
+
+        def fg(c, w, x):
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(x.dtype) * 1e-30, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=2)
+            return y.astype(jnp.float32).mean()
+
+        timed("convg", fg, w2, xg, flops=2 * 2 * 9 * 64 * 64 * 48 * 160 * B)
+
+        def fg_g(c, w, x):
+            gw = jax.grad(lambda ww: fg(c, ww, x))(w)
+            return jnp.sum(gw.astype(jnp.float32)) * 1e-20
+
+        timed("convg_grad", fg_g, w2, xg,
+              flops=3 * 2 * 2 * 9 * 64 * 64 * 48 * 160 * B)
+
+    if "conv64_grad" in pieces:
+        import flax.linen as nn
+
+        m = nn.Conv(64, (3, 3), padding=1, use_bias=False, dtype=dt)
+        x = jnp.zeros((B, 48, 160, 64), dt)
+        v = m.init(rng, x)
+
+        def f64(c, v, x):
+            return m.apply(v, x + c * 1e-30).astype(jnp.float32).mean()
+
+        def f64_g(c, v, x):
+            g = jax.grad(lambda vv: f64(c, vv, x))(v)
+            return sum(jnp.sum(t.astype(jnp.float32))
+                       for t in jax.tree.leaves(g)) * 1e-20
+
+        timed("conv64_grad", f64_g, v, x,
+              flops=3 * 2 * 9 * 64 * 64 * 48 * 160 * B)
+
     if "mm576" in pieces:
         # the SAME contraction a 3x3 64->64 conv @48x160 b12 performs, as a
         # plain matmul over pre-formed patches: isolates conv-lowering
