@@ -167,7 +167,8 @@ def _generate_images_pred_planes(cfg: Config, batch, outputs, frame_ids,
     return outputs
 
 
-def _compute_losses_planes(cfg: Config, batch, outputs, rng):
+def _compute_losses_planes(cfg: Config, batch, outputs, rng,
+                           mesh: Optional[Mesh] = None):
     """Multi-scale photometric + automask + smoothness + SI loss, planes
     layout. Reference: trainer.py:490-596."""
     losses: Dict[str, jnp.ndarray] = {}
@@ -180,16 +181,32 @@ def _compute_losses_planes(cfg: Config, batch, outputs, rng):
     target_p = outputs["target_planes"]    # (B, C, H, W)
     use_ssim = not cfg.no_ssim
 
-    # every warped reprojection loss in ONE call (n, k, B, H, W)
-    reproj_maps = reprojection_loss_planes(
-        warped, target_p[None, None], use_ssim=use_ssim)
+    from fusiondepth_tpu.ops.pallas_reproj import (
+        pallas_reproj_ok,
+        reproj_maps_pallas,
+    )
+
+    fuse_reproj = (cfg.pallas_reproj and use_ssim and pallas_reproj_ok(H)
+                   and jax.default_backend() != "cpu")
+    if fuse_reproj:
+        # fused SSIM+L1 kernel: the box-filtered moment fields never
+        # touch HBM (ops/pallas_reproj.py); numerics match the XLA path
+        reproj_maps = reproj_maps_pallas(warped, target_p, mesh=mesh)
+        identity_maps = None
+        if not cfg.disable_automasking:
+            identity_maps = reproj_maps_pallas(
+                sources_p[:, None], target_p, mesh=mesh)[:, 0]
+    else:
+        # every warped reprojection loss in ONE call (n, k, B, H, W)
+        reproj_maps = reprojection_loss_planes(
+            warped, target_p[None, None], use_ssim=use_ssim)
+        identity_maps = None
+        if not cfg.disable_automasking:
+            identity_maps = reprojection_loss_planes(
+                sources_p, target_p[None], use_ssim=use_ssim)  # (n,B,H,W)
     # identity reprojection is scale-invariant at full-res warping: hoisted
     # out of the scale loop (reference trainer.py:515-528); only the random
     # tie-break noise is drawn fresh per scale (trainer.py:549-551)
-    identity_maps = None
-    if not cfg.disable_automasking:
-        identity_maps = reprojection_loss_planes(
-            sources_p, target_p[None], use_ssim=use_ssim)  # (n, B, H, W)
 
     pyr = _pyramid_planes(cfg, target_p)
 
@@ -419,11 +436,12 @@ def generate_images_pred(cfg: Config, batch, outputs: Dict[Any, Any],
 
 
 def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
-                   rng) -> Dict[str, jnp.ndarray]:
+                   rng, mesh: Optional[Mesh] = None
+                   ) -> Dict[str, jnp.ndarray]:
     """Multi-scale photometric + automask + smoothness + SI loss.
 
     Reference: trainer.py:490-596.
     """
     if cfg.v1_multiscale:
         return compute_losses_reference(cfg, batch, outputs, rng)
-    return _compute_losses_planes(cfg, batch, outputs, rng)
+    return _compute_losses_planes(cfg, batch, outputs, rng, mesh=mesh)

@@ -80,7 +80,7 @@ def make_loss_fn(cfg: Config, nets: FusionNets, mesh=None) -> Callable:
         outputs, updates = fwd(variables, batch)
         outputs = generate_images_pred(cfg, batch, outputs,
                                        list(cfg.frame_ids), mesh=mesh)
-        losses = compute_losses(cfg, batch, outputs, rng)
+        losses = compute_losses(cfg, batch, outputs, rng, mesh=mesh)
         new_stats = {
             k: (updates[k]["batch_stats"] if k in updates
                 else batch_stats.get(k, {}))
