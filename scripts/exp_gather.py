@@ -105,6 +105,29 @@ def main():
         idxw = jnp.asarray(rng.randint(0, WL, (2, WL)), jnp.int32)
         timed("g1w", f_w, xw, idxw)
 
+    if "roll" in pieces:
+        # dynamic (traced-shift) lane rotate — the banded-x fallback's
+        # window-extraction primitive if dynamic_gather is slow
+        def kern_r(x_ref, s_ref, o_ref):
+            x = x_ref[...]
+            sh = s_ref[0]
+            acc = x
+            for _ in range(32):
+                acc = pltpu.roll(acc, sh, 1) + acc * 1e-30
+            o_ref[...] = acc
+
+        def f_r(c, x, sh):
+            return pl.pallas_call(
+                kern_r,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((WH, W), jnp.float32),
+            )(x + c * 1e-30, sh).mean()
+
+        timed("roll x32", f_r, jnp.zeros((WH, W), jnp.float32),
+              jnp.array([128], jnp.int32))
+
     if "warp_row" in pieces:
         # full bilinear warp of NKB planes via gathers, grid like the
         # production kernel: (NKB, H // RT)
