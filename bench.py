@@ -365,10 +365,27 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
             "num_workers": cfg.num_workers}
 
 
+def _parse_set(items):
+    """--set key=value overrides for the benched Config (value parsed as
+    JSON when possible, else kept as string — so `--set pallas_reproj=true
+    --set pallas_warp_backend=gather` both work)."""
+    out = {}
+    for item in items or []:
+        key, _, raw = item.partition("=")
+        try:
+            out[key] = json.loads(raw)
+        except ValueError:
+            out[key] = raw
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=3,
                    choices=[1, 2, 3, 4, 5, 6])
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a Config field on the benched config "
+                        "(repeatable; value parsed as JSON when possible)")
     args = p.parse_args()
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -377,6 +394,7 @@ def main():
     # gather path incl. backward on v5e; see ops/pallas_warp.py)
     base = dict(num_layers=18, height=192, width=640, compute_dtype=dt,
                 pallas_warp=on_tpu)
+    base.update(_parse_set(getattr(args, "set", None)))
 
     if args.config == 1:
         result = bench_inference(base, "forward_fps_r18_640x192_b1")

@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# TPU recovery playbook: one command collects every measurement queued
+# behind a tunnel outage. Run when `python -c "import jax; jax.devices()"`
+# stops hanging. Each stage appends to /tmp/tpu_drive.log and drops JSON
+# lines into /tmp/tpu_drive/; stages are independent so a mid-drive outage
+# loses only the stage in flight.
+#
+# Stages:
+#   1. smoke        tunnel latency + tiny matmul true-sync
+#   2. warp         ops probes: banded vs dynamic-gather warp backends
+#   3. sweep        bench --config 3 across the round-3 flag combos
+#   4. final        bench --config 3 with the winner (read the sweep first,
+#                   set WINNER="--set k=v ..." below or via env)
+set -u
+OUT=/tmp/tpu_drive
+mkdir -p "$OUT"
+LOG=/tmp/tpu_drive.log
+cd "$(dirname "$0")/.."
+
+stage() { echo "=== $1 $(date -u +%H:%M:%S) ===" | tee -a "$LOG"; }
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  stage "$name"
+  timeout "$t" "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"
+  local rc=$?
+  echo "rc=$rc" | tee -a "$LOG"
+  tail -3 "$OUT/$name.out" | tee -a "$LOG"
+}
+
+case "${1:-all}" in
+  smoke|all)
+    run smoke 300 python - <<'EOF'
+import time, jax, jax.numpy as jnp
+t0 = time.time(); x = jnp.ones((1024, 1024), jnp.bfloat16)
+v = float((x @ x).sum()); t1 = time.time()
+print({"first_touch_s": round(t1 - t0, 2), "value": v,
+       "devices": str(jax.devices())})
+EOF
+    [ "${1:-all}" = smoke ] && exit 0 ;;&
+  warp|all)
+    run warp_gather 900 python scripts/exp_gather.py
+    run warp_fwd 900 python scripts/exp_warp_fwd.py
+    [ "${1:-all}" = warp ] && exit 0 ;;&
+  sweep|all)
+    run sweep_base    1200 python bench.py
+    run sweep_reproj  1200 python bench.py --set pallas_reproj=true
+    run sweep_gatherw 1200 python bench.py --set pallas_warp_backend=gather
+    run sweep_paired  1200 python bench.py --set paired_encoders=true
+    run sweep_allon   1200 python bench.py --set pallas_reproj=true \
+        --set paired_encoders=true
+    [ "${1:-all}" = sweep ] && exit 0 ;;&
+  final)
+    # e.g. WINNER="--set pallas_reproj=true" scripts/tpu_drive.sh final
+    run final 1200 python bench.py ${WINNER:-}
+    ;;
+esac
+echo "drive done; results in $OUT" | tee -a "$LOG"
