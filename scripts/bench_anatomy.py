@@ -120,7 +120,21 @@ def main():
                 ca = ca[0] if ca else {}
             fl = float(ca.get("flops", 0) or 0)
             by = float(ca.get("bytes accessed", 0) or 0)
-            print(f"{name:12s} {fl/1e12:8.3f} TFLOP  {by/1e9:8.2f} GB")
+            # speed-of-light step time for the compiled program: the
+            # binding side of the MXU/HBM roofline (Pallas kernel
+            # internals are invisible to cost analysis — add their
+            # analytic traffic by hand, see PERF.md roofline section)
+            from bench import PEAK_HBM_GBPS, device_peak_tflops
+            peak, kind = device_peak_tflops()
+            bw = next((g for k, g in PEAK_HBM_GBPS.items()
+                       if k in kind.lower()), None)
+            rl = ""
+            if peak and bw:
+                rl_ms = max(fl / (peak * 1e12), by / (bw * 1e9)) * 1e3
+                bound = "HBM" if by / (bw * 1e9) > fl / (peak * 1e12) \
+                    else "MXU"
+                rl = f"  roofline {rl_ms:7.2f} ms ({bound}-bound)"
+            print(f"{name:12s} {fl/1e12:8.3f} TFLOP  {by/1e9:8.2f} GB{rl}")
             return 0.0
         st = _timeit_stats(lambda: jfn(*fargs), iters=1, warmup=2, trials=3)
         ms = st["median"] / n * 1e3
