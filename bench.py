@@ -210,6 +210,11 @@ def bench_train(cfg_kwargs, metric, batch):
         make_optimizer,
     )
 
+    cfg_kwargs = dict(cfg_kwargs)
+    if "batch_size" in cfg_kwargs:  # --set batch_size=N
+        batch = cfg_kwargs.pop("batch_size")
+        if metric.rsplit("_b", 1)[-1].isdigit():
+            metric = metric.rsplit("_b", 1)[0] + f"_b{batch}"
     cfg = Config(batch_size=batch, **cfg_kwargs)
     nets = FusionNets(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)

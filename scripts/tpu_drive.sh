@@ -49,6 +49,8 @@ EOF
     run sweep_paired  1200 python bench.py --set paired_encoders=true
     run sweep_allon   1200 python bench.py --set pallas_reproj=true \
         --set paired_encoders=true
+    run sweep_b24     1200 python bench.py --set pallas_reproj=true \
+        --set batch_size=24
     [ "${1:-all}" = sweep ] && exit 0 ;;&
   final)
     # e.g. WINNER="--set pallas_reproj=true" scripts/tpu_drive.sh final
