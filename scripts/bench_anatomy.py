@@ -61,8 +61,14 @@ def main():
     p.add_argument("--costs", action="store_true",
                    help="print XLA compiled cost analysis per stage "
                         "(flops + bytes accessed) instead of timing")
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="Config field overrides, same syntax as bench.py "
+                        "(profile the flag combo the benchmark recorded)")
     args = p.parse_args()
     stages = args.stages.split(",")
+    from bench import _parse_set
+
+    overrides = _parse_set(getattr(args, "set", None))
 
     from fusiondepth_tpu.config import Config
     from fusiondepth_tpu.data.synthetic import make_batch
@@ -80,11 +86,12 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     use_pallas = bool(args.pallas) if args.pallas is not None else on_tpu
-    cfg = Config(num_layers=18, height=192, width=640,
-                 batch_size=args.batch,
-                 compute_dtype="bfloat16" if on_tpu else "float32",
-                 pallas_warp=use_pallas)
-    B = args.batch
+    cfg = Config(**dict(
+        dict(num_layers=18, height=192, width=640, batch_size=args.batch,
+             compute_dtype="bfloat16" if on_tpu else "float32",
+             pallas_warp=use_pallas),
+        **overrides))
+    B = cfg.batch_size
     nets = FusionNets(cfg)
     tx = make_optimizer(cfg, 1000)
     state = create_train_state(cfg, nets, jax.random.PRNGKey(0), tx)

@@ -52,6 +52,14 @@ EOF
     run sweep_b24     1200 python bench.py --set pallas_reproj=true \
         --set batch_size=24
     [ "${1:-all}" = sweep ] && exit 0 ;;&
+  anatomy|all)
+    # per-stage timing + roofline (VERDICT item 1's analysis evidence)
+    run anatomy_base   1800 python scripts/bench_anatomy.py
+    run anatomy_reproj 1800 python scripts/bench_anatomy.py \
+        --set pallas_reproj=true
+    run anatomy_costs  1800 python scripts/bench_anatomy.py --costs \
+        --set pallas_reproj=true
+    [ "${1:-all}" = anatomy ] && exit 0 ;;&
   final)
     # e.g. WINNER="--set pallas_reproj=true" scripts/tpu_drive.sh final
     run final 1200 python bench.py ${WINNER:-}
