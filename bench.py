@@ -378,14 +378,17 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 # its env gate (ops/pooling.py) — the last rung is the round-2-proven path.
 TRAIN_LADDER = [
     ("r3_reproj_paired", dict(pallas_reproj=True, paired_encoders=True)),
-    ("r3_reproj_gather", dict(pallas_reproj=True,
-                              pallas_warp_backend="gather")),
     ("r3_reproj", dict(pallas_reproj=True)),
     ("r2_proven", dict()),
+    ("r3_reproj_gather", dict(pallas_reproj=True,
+                              pallas_warp_backend="gather")),
     ("r2_no_pallas_pool", dict(_pool="0")),
 ]
 
-LADDER_BUDGET_S = 600  # stop starting new rungs past this (keep best so far)
+# stop starting new rungs past this (keep best so far) — ordered so the
+# optimistic and the proven configs are both measured inside a tight budget
+LADDER_BUDGET_S = float(__import__("os").environ.get(
+    "BENCH_LADDER_BUDGET", 420))
 
 
 def bench_train_ladder(base, explicit: bool, on_tpu: bool):

@@ -52,6 +52,13 @@ EOF
     run sweep_b24     1200 python bench.py --set pallas_reproj=true \
         --set batch_size=24
     [ "${1:-all}" = sweep ] && exit 0 ;;&
+  mesh1|all)
+    # meshed (GSPMD+shard_map+Mosaic) train step on the real chip —
+    # the composition the CPU dryrun cannot exercise (Pallas off there)
+    run mesh1        1200 python scripts/exp_mesh1.py
+    run mesh1_reproj 1200 python scripts/exp_mesh1.py \
+        --set pallas_reproj=true
+    [ "${1:-all}" = mesh1 ] && exit 0 ;;&
   anatomy|all)
     # per-stage timing + roofline (VERDICT item 1's analysis evidence)
     run anatomy_base   1800 python scripts/bench_anatomy.py
