@@ -376,12 +376,16 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 # best measured throughput, so an unvalidated kernel can never cost the
 # round its benchmark number. `pool` toggles the Pallas stem-maxpool via
 # its env gate (ops/pooling.py) — the last rung is the round-2-proven path.
+# the banded warp's one-hot matmuls are a ~22 ms MXU floor (4.35 TFLOP/step
+# analytic, ops/pallas_warp.analytic_costs) — the gather backend removes it,
+# so the gather rung leads
 TRAIN_LADDER = [
+    ("r3_gather_reproj_paired", dict(pallas_reproj=True,
+                                     paired_encoders=True,
+                                     pallas_warp_backend="gather")),
     ("r3_reproj_paired", dict(pallas_reproj=True, paired_encoders=True)),
-    ("r3_reproj", dict(pallas_reproj=True)),
     ("r2_proven", dict()),
-    ("r3_reproj_gather", dict(pallas_reproj=True,
-                              pallas_warp_backend="gather")),
+    ("r3_reproj", dict(pallas_reproj=True)),
     ("r2_no_pallas_pool", dict(_pool="0")),
 ]
 

@@ -215,3 +215,20 @@ def _pool_bwd(interpret, res, g):
 
 
 max_pool_3x3s2_pallas.defvjp(_pool_fwd, _pool_bwd)
+
+
+def analytic_costs(B, H, W, C, bwd=False, dtype_bytes=2):
+    """Analytic (flops, hbm_bytes) per execution of the stem-maxpool
+    kernel (input (B, H, W, C), stride-2 3x3), for roofline accounting.
+
+    Forward: 9 compares per output pixel (VPU), reads the input once,
+    writes the quarter-size output. Backward: 9 shifted equality compares
+    over 4 parity planes at output resolution; reads input + output +
+    cotangent, writes the input-resolution gradient.
+    """
+    out_px = B * (H // 2) * (W // 2) * C
+    in_b = B * H * W * C * dtype_bytes
+    out_b = out_px * dtype_bytes
+    if bwd:
+        return 9 * 4 * out_px, in_b + 2 * out_b + out_b + in_b
+    return 9 * out_px, in_b + out_b

@@ -270,3 +270,25 @@ def _bwd(interpret, res, g):
 
 
 reproj_loss_pallas.defvjp(_fwd, _bwd)
+
+
+def analytic_costs(n, k, B, C, H, W, bwd=False, dtype_bytes=2):
+    """Analytic (flops, hbm_bytes) per execution of the fused SSIM+L1
+    kernel, for roofline accounting (cost analysis is blind to pallas_call).
+
+    VPU elementwise: ~45 flops/pixel/channel forward (three 3x3 box means
+    + SSIM algebra + L1), ~3x that through the in-kernel VJP. HBM: warped
+    rows (+2/RT halo re-reads), the target/muy/ey2 blocks re-fetched per
+    (n, k) candidate, the (n, k, B, H, W) loss maps out; backward adds the
+    incoming cotangent and the three d(warped) row outputs.
+    """
+    px = n * k * B * H * W
+    flops = px * C * (45 if not bwd else 135)
+    halo = 1.0 + 2.0 / RT
+    warped_b = n * k * B * C * H * W * dtype_bytes
+    tgt_b = 3 * warped_b          # target, muy, ey2 re-read per candidate
+    maps_b = n * k * B * H * W * dtype_bytes
+    base = warped_b * halo + tgt_b * halo + maps_b
+    if bwd:
+        return int(flops), int(base + maps_b + warped_b * halo)
+    return int(flops), int(base)

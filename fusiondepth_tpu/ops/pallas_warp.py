@@ -245,3 +245,25 @@ def warp_bilinear_banded(sources, warps, interpret: bool = False,
             results[pos] = jnp.moveaxis(out[s, k], 1, -1).astype(
                 sources[0].dtype)
     return results
+
+
+def analytic_costs(n, k, B, C, H, W, bwd=False, dtype_bytes=2):
+    """Analytic (flops, hbm_bytes) per execution of the banded warp kernel.
+
+    XLA's compiled cost analysis cannot see inside pallas_call, so the
+    roofline accounting (scripts/bench_anatomy.py --costs) adds these.
+    Forward: one (C*WH, W) @ (W, W) one-hot matmul per output row; backward
+    runs two (A0, A1 -> value + x-derivative). HBM: coords (f32) + one
+    source-window fetch per (n, k, B) program run + the output (and, on the
+    backward, the incoming cotangent and the two coordinate cotangents).
+    """
+    rows = n * k * B * H
+    mm = 2 * C * WH * W * W
+    flops = rows * mm * (2 if bwd else 1)
+    coords = n * k * B * H * W * 4 * 2
+    src = n * k * B * C * H * W * dtype_bytes
+    out = n * k * B * C * H * W * dtype_bytes
+    if bwd:
+        cot_out = n * k * B * H * W * 4 * 2
+        return flops, coords + src + out + cot_out
+    return flops, coords + src + out

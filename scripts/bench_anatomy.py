@@ -315,6 +315,49 @@ def main():
 
         timed("automask", am, rmaps, imaps, rng)
 
+    if args.costs:
+        # Pallas kernels are invisible to XLA cost analysis: print their
+        # analytic (flops, bytes) + roofline bounds so the step totals can
+        # be corrected by hand (PERF.md roofline section)
+        import os
+
+        from bench import PEAK_HBM_GBPS, device_peak_tflops
+
+        peak, kind = device_peak_tflops()
+        bw = next((g for k_, g in PEAK_HBM_GBPS.items()
+                   if k_ in kind.lower()), None)
+        n, k = len(cfg.frame_ids) - 1, len(cfg.scales)
+        corr = []
+        if cfg.pallas_warp and cfg.pallas_warp_backend == "banded":
+            from fusiondepth_tpu.ops.pallas_warp import analytic_costs
+            corr += [("pallas_warp_fwd",
+                      *analytic_costs(n, k, B, 3, cfg.height, cfg.width)),
+                     ("pallas_warp_bwd",
+                      *analytic_costs(n, k, B, 3, cfg.height, cfg.width,
+                                      bwd=True))]
+        if cfg.pallas_reproj:
+            from fusiondepth_tpu.ops.pallas_reproj import analytic_costs
+            corr += [("pallas_reproj_fwd",
+                      *analytic_costs(n, k, B, 3, cfg.height, cfg.width)),
+                     ("pallas_reproj_bwd",
+                      *analytic_costs(n, k, B, 3, cfg.height, cfg.width,
+                                      bwd=True))]
+        if os.environ.get("FUSIONDEPTH_PALLAS_POOL", "1") == "1":
+            from fusiondepth_tpu.ops.pallas_pool import analytic_costs
+            # stem pool input: (B, H/2, W/2, 64) after the stride-2 conv1
+            shp = (B, cfg.height // 2, cfg.width // 2, 64)
+            corr += [("pallas_pool_fwd", *analytic_costs(*shp)),
+                     ("pallas_pool_bwd", *analytic_costs(*shp, bwd=True))]
+        print("-- pallas analytic corrections (not in XLA rows above) --")
+        for name, fl, by in corr:
+            rl = ""
+            if peak and bw:
+                rl_ms = max(fl / (peak * 1e12), by / (bw * 1e9)) * 1e3
+                bound = "HBM" if by / (bw * 1e9) > fl / (peak * 1e12) \
+                    else "MXU"
+                rl = f"  roofline {rl_ms:7.2f} ms ({bound}-bound)"
+            print(f"{name:18s} {fl/1e12:8.3f} TFLOP  {by/1e9:8.2f} GB{rl}")
+
 
 if __name__ == "__main__":
     main()

@@ -28,8 +28,8 @@ def _fake_bench_train(results):
 
 def test_ladder_picks_best_and_survives_failures(monkeypatch):
     results = {
+        (True, True, "gather"): RuntimeError("dynamic_gather unsupported"),
         (True, True, "banded"): RuntimeError("mosaic lowering failed"),
-        (True, False, "gather"): 90.0,
         (True, False, "banded"): 120.0,
         (False, False, "banded"): 50.0,
     }
@@ -37,6 +37,7 @@ def test_ladder_picks_best_and_survives_failures(monkeypatch):
     r = bench.bench_train_ladder({}, explicit=False, on_tpu=True)
     assert r["value"] == 120.0
     assert r["config_flags"] == "r3_reproj"
+    assert "error" in r["ladder"]["r3_gather_reproj_paired"]
     assert "error" in r["ladder"]["r3_reproj_paired"]
     # the proven rung and its pool-off twin both ran and were recorded
     assert r["ladder"]["r2_proven"]["value"] == 50.0
@@ -46,7 +47,7 @@ def test_ladder_picks_best_and_survives_failures(monkeypatch):
 def test_ladder_all_rungs_failing_raises(monkeypatch):
     err = RuntimeError("tunnel down")
     results = {k: err for k in [
-        (True, True, "banded"), (True, False, "gather"),
+        (True, True, "gather"), (True, True, "banded"),
         (True, False, "banded"), (False, False, "banded")]}
     monkeypatch.setattr(bench, "bench_train", _fake_bench_train(results))
     with pytest.raises(RuntimeError, match="every ladder rung failed"):
