@@ -41,12 +41,16 @@ _NEG = float("-inf")
 _POS = float("inf")
 
 
-def _bh_for(ho: int) -> int:
-    """Output rows per program: largest divisor of Ho that is <= 12
-    (VMEM: the bwd kernel holds ~10 (BH, Wo, C) planes + the (2BH, Wo, 2C)
-    input and grad blocks, double-buffered)."""
+def _bh_for(ho: int, wo: int = 160, c: int = 64,
+            dtype_bytes: int = 2) -> int:
+    """Output rows per program: largest divisor of Ho <= 12 that fits the
+    16 MB scoped-VMEM limit. The bwd kernel holds ~10 (BH, Wo, C) planes
+    plus the double-buffered (2BH, Wo, 2C) input and grad blocks —
+    measured ~36 x BH*Wo*C*dtype bytes at the compile-time peak (the
+    paired-encoder stem, C=128, OOM'd at BH=12 = 17.49 MB vs 16 MB)."""
+    budget = int(15.5e6)
     for d in range(min(ho, 12), 0, -1):
-        if ho % d == 0:
+        if ho % d == 0 and 36 * d * wo * c * dtype_bytes <= budget:
             return d
     return 1
 
@@ -59,7 +63,8 @@ def pallas_pool_ok(shape, dtype) -> bool:
         return False
     # lane-dense regroup wants 2C a multiple of 128 for full effect, but
     # correctness only needs the reshape to be expressible
-    return _bh_for(H // 2) >= 4
+    db = jnp.dtype(dtype).itemsize
+    return _bh_for(H // 2, W // 2, C, db) >= 4
 
 
 def _fwd_kernel(xm_ref, ht_ref, o_ref, *, K):
@@ -152,7 +157,7 @@ def _prep(x):
     and outer-dim row slices)."""
     B, H, W, C = x.shape
     Ho, Wo = H // 2, W // 2
-    BH = _bh_for(Ho)
+    BH = _bh_for(Ho, Wo, C, jnp.dtype(x.dtype).itemsize)
     T = Ho // BH
     xr = x.reshape(B, T, 2 * BH, Wo, 2 * C)
     neg = jnp.full((B, 1, 1, Wo, 2 * C), _NEG, x.dtype)

@@ -6,22 +6,39 @@ gathers with one-hot matmuls — but those matmuls are real MXU work:
 ~4.4 TFLOP per train step across fwd + VJP, which CAPS the whole step at
 ~33 ms even at 100% MFU. This backend uses the VPU's in-register
 crossbars instead: Mosaic lowers a 2D `jnp.take_along_axis` to
-`tpu.dynamic_gather` — axis 0 is a sublane gather, axis 1 a lane gather —
-so each warped pixel costs a handful of VPU ops rather than a 640-wide
-matmul column.
+`tpu.dynamic_gather` — axis 0 is a sublane crossbar, axis 1 a lane
+crossbar — so each warped pixel costs a handful of VPU ops rather than a
+640-wide matmul column.
 
-Structure per program (grid (n_src*n_scales, B, H/RT), same contract as
-the banded kernel):
-- extract the WH-row source window at an 8-aligned dynamic start (same
-  windowing contract and exactness domain as ops/pallas_warp.py);
-- per output row: ONE lane-gather pair over the stacked (C*WH, W) window
-  selects columns x0/x0+1 for every window row at once; blend by wx;
-  then a sublane-gather pair selects rows ly/ly+1 per channel; blend by
-  wy. 4 gathers of (C*WH, W) per row fwd, 6 bwd (the VJP reuses the
-  horizontal pair and gathers the x/y derivative rows).
+Mosaic (v5e) only lowers `tpu.dynamic_gather` when the SOURCE spans a
+single vreg along the gather dimension ("Multiple source vregs along
+gather dimension" otherwise): <=8 sublanes for an axis-0 gather, <=128
+lanes for an axis-1 gather. Both gathers here are therefore decomposed
+to vreg-legal pieces:
+
+- horizontal (lane) gather: the W-wide row is processed in 128-lane
+  output strips; strip s gathers from source strips {s-1, s, s+1} (each
+  a (C*WH, 128) lane-slice = one vreg along the gather dim) and selects
+  by `x0 // 128`. Source columns are clamped into the covered 3-strip
+  band, so the kernel is EXACT when the horizontal displacement
+  |ix - column| <= 128 px (KITTI-scale reprojection moves tens of px)
+  and clamps gracefully beyond, mirroring the vertical window clamp.
+  `x0+1` columns come from the same gathers against a roll(-1) of the
+  window, reusing the strip indices.
+- vertical (sublane) gather: the WH-row window is processed in 8-row
+  groups; each channel's picked row is gathered from the <=4 groups that
+  a `ly` value can fall in and combined by `ly // 8` selects.
+
+Structure per program (grid (n_src, n_scales, B, H/RT), same contract as
+the banded kernel): extract the WH-row source window at an 8-aligned
+dynamic start, then per output row do the strip-decomposed horizontal
+blend followed by the group-decomposed vertical blend, strip-locally
+(nothing wider than (C*WH, 128) lives past the gathers).
 
 Gradients: custom VJP to the COORDINATES only (sources are data in the
-photometric loss), matching ops/pallas_warp.py's contract.
+photometric loss), matching ops/pallas_warp.py's contract: d/dix is the
+vertical interp of the horizontal derivative, d/diy the vertical
+derivative of the horizontal interp.
 """
 
 from __future__ import annotations
@@ -33,8 +50,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WH = 32  # source-window rows per output block (see ops/pallas_warp.py)
-RT = 16  # output rows per program
+WH = 32   # source-window rows per output block (see ops/pallas_warp.py)
+RT = 16   # output rows per program
+LS = 128  # lane-strip width: one vreg along the lane (gather) dimension
+SG = 8    # sublane group: one vreg along the sublane (gather) dimension
 
 
 def _win_and_idx(ix_ref, iy_ref, src_ref, H, W, C):
@@ -42,63 +61,104 @@ def _win_and_idx(ix_ref, iy_ref, src_ref, H, W, C):
     iy = iy_ref[0, 0, 0]
     yb = jnp.clip(jnp.floor(jnp.min(iy)).astype(jnp.int32), 0, H - WH)
     yb = pl.multiple_of((yb // 8) * 8, 8)
-    win = src_ref[0, 0, :, pl.ds(yb, WH), :].reshape(C * WH, W)
+    # cast the window to f32 BEFORE gathering: tpu.dynamic_gather needs
+    # the data and i32 index bitwidths to match ("Gather indices and
+    # result have different bitwidths" for bf16 sources otherwise)
+    win = src_ref[0, 0, :, pl.ds(yb, WH), :].reshape(C * WH, W).astype(
+        jnp.float32)
+    # x0+1 columns: gather the same strip indices against roll(-1) of the
+    # window (x0 <= W-2 keeps the wrap column out of reach); pltpu.roll
+    # rejects negative shifts, so roll by W-1 (same rotation)
+    winp = pltpu.roll(win, W - 1, 1)
     x0 = jnp.clip(jnp.floor(ix), 0, W - 2).astype(jnp.int32)
-    wx = jnp.clip(ix - x0.astype(jnp.float32), 0.0, 1.0)
     ly = jnp.clip(jnp.floor(iy).astype(jnp.int32) - yb, 0, WH - 2)
     wy = jnp.clip(iy - (yb + ly).astype(jnp.float32), 0.0, 1.0)
-    return win, x0, wx, ly, wy
+    return win, winp, x0, ix, ly, wy
 
 
-def _row_pick(t, ly_b, C, W):
-    """Sublane-gather rows ly (per column) of each channel's WH-block of
-    t (C*WH, W), returning the C picked rows stacked (C, W).
+def _hblend(win, winp, x0s, ixs, s, n_strips, CWH):
+    """Horizontal bilinear pair for output strip s: strip-decomposed lane
+    gathers -> (h0, h1, wx) each (CWH, LS) f32.
 
-    idx[r, j] = (r // WH) * WH + ly[j]: every row of channel c's block
-    gathers that channel's selected row; row c*WH of the result holds it.
+    x0s/ixs are the strip's (LS,) column indices / coords; source columns
+    clamp into the covered [s-1, s+1] strip band (exact for
+    |ix - col| <= LS).
     """
-    base = (jax.lax.broadcasted_iota(jnp.int32, (C * WH, W), 0) // WH) * WH
-    picked = jnp.take_along_axis(t, base + ly_b, axis=0)
-    rows = [picked[c * WH:c * WH + 1] for c in range(C)]
+    lo = LS * max(s - 1, 0)
+    hi = LS * min(s + 1, n_strips - 1) + (LS - 1)
+    x0c = jnp.clip(x0s, lo, hi - 1)        # keep x0c+1 <= hi in-band
+    wx = jnp.clip(ixs - x0c.astype(jnp.float32), 0.0, 1.0)
+    tsel = x0c // LS                       # covered strip per lane
+    local = jnp.broadcast_to((x0c - tsel * LS)[None], (CWH, LS))
+    h0 = jnp.zeros((CWH, LS), jnp.float32)
+    h1 = jnp.zeros((CWH, LS), jnp.float32)
+    for t in range(max(s - 1, 0), min(s + 1, n_strips - 1) + 1):
+        m = jnp.broadcast_to((tsel == t)[None], (CWH, LS))
+        g0 = jnp.take_along_axis(win[:, t * LS:(t + 1) * LS], local,
+                                 axis=1).astype(jnp.float32)
+        g1 = jnp.take_along_axis(winp[:, t * LS:(t + 1) * LS], local,
+                                 axis=1).astype(jnp.float32)
+        h0 = jnp.where(m, g0, h0)
+        h1 = jnp.where(m, g1, h1)
+    return h0, h1, wx
+
+
+def _vpick(hb, lys, C):
+    """Vertical pick rows `lys` (LS,) of each channel's WH-block of hb
+    (C*WH, LS): group-decomposed sublane gathers -> (C, LS)."""
+    gsel = lys // SG
+    idx = jnp.broadcast_to((lys - gsel * SG)[None], (SG, hb.shape[1]))
+    rows = []
+    for c in range(C):
+        acc = jnp.zeros((1, hb.shape[1]), jnp.float32)
+        for g in range(WH // SG):
+            src = hb[c * WH + g * SG: c * WH + (g + 1) * SG]
+            pick = jnp.take_along_axis(src, idx, axis=0)[:1]
+            acc = jnp.where((gsel == g)[None], pick, acc)
+        rows.append(acc)
     return jnp.concatenate(rows, axis=0)
 
 
 def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C):
-    win, x0, wx, ly, wy = _win_and_idx(ix_ref, iy_ref, src_ref, H, W, C)
-    f32 = jnp.float32
+    win, winp, x0, ix, ly, wy = _win_and_idx(ix_ref, iy_ref, src_ref,
+                                             H, W, C)
+    n_strips = W // LS
     for i in range(RT):
-        x0_b = jnp.broadcast_to(x0[i][None], (C * WH, W))
-        h0 = jnp.take_along_axis(win, x0_b, axis=1).astype(f32)
-        h1 = jnp.take_along_axis(win, x0_b + 1, axis=1).astype(f32)
-        hb = h0 + wx[i][None] * (h1 - h0)          # (C*WH, W)
-        ly_b = jnp.broadcast_to(ly[i][None], (C * WH, W))
-        v0 = _row_pick(hb, ly_b, C, W)             # (C, W)
-        v1 = _row_pick(hb, ly_b + 1, C, W)
-        out_ref[0, 0, 0, :, i, :] = (
-            v0 + wy[i][None] * (v1 - v0)).astype(out_ref.dtype)
+        for s in range(n_strips):
+            sl = slice(s * LS, (s + 1) * LS)
+            h0, h1, wx = _hblend(win, winp, x0[i, sl], ix[i, sl], s,
+                                 n_strips, C * WH)
+            hb = h0 + wx[None] * (h1 - h0)          # (C*WH, LS)
+            v0 = _vpick(hb, ly[i, sl], C)           # (C, LS)
+            v1 = _vpick(hb, ly[i, sl] + 1, C)
+            out_ref[0, 0, 0, :, i, sl] = (
+                v0 + wy[i, sl][None] * (v1 - v0)).astype(out_ref.dtype)
 
 
 def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
                 *, H, W, C):
-    win, x0, wx, ly, wy = _win_and_idx(ix_ref, iy_ref, src_ref, H, W, C)
-    f32 = jnp.float32
+    win, winp, x0, ix, ly, wy = _win_and_idx(ix_ref, iy_ref, src_ref,
+                                             H, W, C)
+    n_strips = W // LS
     for i in range(RT):
-        g = g_ref[0, 0, 0, :, i, :].astype(f32)    # (C, W)
-        x0_b = jnp.broadcast_to(x0[i][None], (C * WH, W))
-        h0 = jnp.take_along_axis(win, x0_b, axis=1).astype(f32)
-        h1 = jnp.take_along_axis(win, x0_b + 1, axis=1).astype(f32)
-        hb = h0 + wx[i][None] * (h1 - h0)
-        hd = h1 - h0
-        ly_b = jnp.broadcast_to(ly[i][None], (C * WH, W))
-        v0 = _row_pick(hb, ly_b, C, W)
-        v1 = _row_pick(hb, ly_b + 1, C, W)
-        d0 = _row_pick(hd, ly_b, C, W)
-        d1 = _row_pick(hd, ly_b + 1, C, W)
-        wyi = wy[i][None]
-        # d out / d ix = vertical interp of the horizontal derivative
-        cix_ref[0, 0, 0, i, :] = (g * (d0 + wyi * (d1 - d0))).sum(axis=0)
-        # d out / d iy = vertical derivative of the horizontal interp
-        ciy_ref[0, 0, 0, i, :] = (g * (v1 - v0)).sum(axis=0)
+        for s in range(n_strips):
+            sl = slice(s * LS, (s + 1) * LS)
+            g = g_ref[0, 0, 0, :, i, sl].astype(jnp.float32)   # (C, LS)
+            h0, h1, wx = _hblend(win, winp, x0[i, sl], ix[i, sl], s,
+                                 n_strips, C * WH)
+            hb = h0 + wx[None] * (h1 - h0)
+            hd = h1 - h0
+            lys = ly[i, sl]
+            v0 = _vpick(hb, lys, C)
+            v1 = _vpick(hb, lys + 1, C)
+            d0 = _vpick(hd, lys, C)
+            d1 = _vpick(hd, lys + 1, C)
+            wyi = wy[i, sl][None]
+            # d out / d ix = vertical interp of the horizontal derivative
+            cix_ref[0, 0, 0, i, sl] = (
+                g * (d0 + wyi * (d1 - d0))).sum(axis=0)
+            # d out / d iy = vertical derivative of the horizontal interp
+            ciy_ref[0, 0, 0, i, sl] = (g * (v1 - v0)).sum(axis=0)
 
 
 def _specs(n_src, n_scales, B, C, H, W):
@@ -129,7 +189,7 @@ def _warp_gather_fwd(coords, sources, interpret, prec):
     del prec
     n, k, B, H, W, _ = coords.shape
     C = sources.shape[2]
-    assert H % RT == 0 and H >= WH, (H, W)
+    assert H % RT == 0 and H >= WH and W % LS == 0, (H, W)
     grid, cspec, sspec, ospec = _specs(n, k, B, C, H, W)
     ix = coords[..., 0]
     iy = coords[..., 1]

@@ -109,3 +109,36 @@ def test_gather_backend_matches_banded_interpret():
     _, vg = jax.vjp(lambda c: _warp_gather(c, src, True, prec), coords)
     np.testing.assert_allclose(np.asarray(vg(g)[0]), np.asarray(vb(g)[0]),
                                atol=1e-5)
+
+
+def test_gather_backend_multi_strip_interpret():
+    """The gather backend's 128-lane strip decomposition (Mosaic only
+    lane-gathers a single source vreg) must stay exact when horizontal
+    displacements cross strip boundaries (|ix - col| up to ~100 px here,
+    inside the documented |d| <= 128 band)."""
+    import numpy as np
+
+    from fusiondepth_tpu.ops.pallas_warp import _warp
+    from fusiondepth_tpu.ops.pallas_warp_gather import _warp_gather
+
+    n, k, B, C, H, W = 1, 1, 1, 3, 32, 256
+    rng = np.random.RandomState(1)
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    ix = (jj[None, None, None]
+          + rng.uniform(-100, 100, (n, k, B, H, W))).clip(0, W - 1)
+    iy = (ii[None, None, None]
+          + rng.uniform(-4, 4, (n, k, B, H, W))).clip(0, H - 1)
+    coords = jnp.asarray(np.stack([ix, iy], -1).astype(np.float32))
+    src = jnp.asarray(rng.standard_normal((n, B, C, H, W)).astype(np.float32))
+    prec = jax.lax.Precision.HIGHEST
+
+    o_band = _warp(coords, src, True, prec)
+    o_gath = _warp_gather(coords, src, True, prec)
+    np.testing.assert_allclose(np.asarray(o_gath), np.asarray(o_band),
+                               atol=2e-6)
+
+    g = jnp.asarray(rng.standard_normal(o_band.shape).astype(np.float32))
+    _, vb = jax.vjp(lambda c: _warp(c, src, True, prec), coords)
+    _, vg = jax.vjp(lambda c: _warp_gather(c, src, True, prec), coords)
+    np.testing.assert_allclose(np.asarray(vg(g)[0]), np.asarray(vb(g)[0]),
+                               atol=1e-5)
