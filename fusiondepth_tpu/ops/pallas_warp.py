@@ -7,21 +7,32 @@ measured on v5e) — 47M gather rows per train step, the dominant cost after
 the round-2 loss overhaul.
 
 This kernel replaces the gather with linear algebra:
-  - horizontal interpolation = a one-hot-pair matmul on the MXU:
-    for each output row, a (C*WH, W) window slab contracts against a
-    (W_out, W_src) matrix holding the two bilinear x-weights per pixel;
-  - vertical interpolation = a masked reduction over the WH-row window on
+  - horizontal interpolation = one-hot-pair matmuls on the MXU;
+  - vertical interpolation = a masked reduction over the row window on
     the VPU (two nonzero y-weights per pixel).
 
-Exactness domain: horizontal is exact (incl. border clamping, same
-x0 = clamp(floor(ix), 0, W-2) construction as ops.sampling.grid_sample).
-Vertically each RT-row output block reads one dynamically-positioned
-WH-row window of the source; pixels whose source row falls outside
-[window, window+WH) clamp to the window edge. Reprojection warps are
-smooth — vertical spread within an RT-row block is RT plus a few pixels on
-KITTI-like motion — so WH=32 (17 rows of motion headroom past the block
-span and alignment slack) keeps the kernel exact in practice; extreme
-synthetic warps fall back to the gather path (use_pallas_warp gates it).
+The matmuls are the step's FLOP ceiling, so they are kept as small as the
+warp's smoothness allows (round 3; 3.3x fewer MACs than the round-2
+full-width form):
+  - per OUTPUT ROW the source window is WR=16 rows, dynamically sliced
+    (8-aligned) at that row's own floor(min iy) — reprojection warps are
+    near-identity vertically, so iy varies by a pixel or two WITHIN one
+    output row; 16 rows = up to 7 alignment slack + 7 rows of spread.
+  - per 128-column OUTPUT STRIP the contraction runs over a BW=384-column
+    source BAND around the strip, not all W columns: exact while the
+    horizontal displacement |ix - column| <= 128 px (KITTI-scale
+    reprojection moves tens of px), clamping to the band edge beyond —
+    the same banding contract as the gather backend.
+
+Per output row this is ceil(W/128) matmuls of (C*WR, BW) @ (BW, 128)
+instead of one (C*WH=96, W) @ (W, W): at 192x640 that is 11.8M vs 39.3M
+MACs per row (fwd).
+
+Exactness domain: exact (incl. border clamping, same x0/y0 constructions
+as ops.sampling.grid_sample) while per-output-row vertical spread of
+floor(iy) stays <= 7 px (up to 14 when alignment is lucky) and horizontal
+displacement stays within the band; clamps gracefully beyond. Extreme
+synthetic warps fall back to the XLA gather path (use_pallas gates it).
 
 Gradients: a custom VJP computes cotangents for the COORDINATES only
 (through the same kernel structure, with +-1 derivative one-hots). The
@@ -37,99 +48,117 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (parity)
 
-WH = 32  # source-window rows per output block
-RT = 16  # output rows per program
+WR = 16   # source-window rows per OUTPUT ROW (8-aligned dynamic start)
+RT = 16   # output rows per program
+LS = 128  # output-strip width (lanes)
+BW = 384  # source-band columns per output strip (covers |ix-col|<=128)
 
-# Window sizing: a program emits RT output rows from one WH-row source
-# window starting at yb = 8-aligned floor(min iy). Reprojection warps are
-# near-identity vertically, so iy inside an RT-row block spans ~RT rows
-# plus a few pixels of motion: WH - RT - 7 (alignment slack) = 9 rows of
-# motion headroom. Halving WH from round-2's 64 halves the per-row MXU
-# cost ((C*WH, W) @ (W, W)); RT stays 16 — an RT=8 variant doubled the
-# program count and its per-program overhead cost more than the halved
-# matmul saved (measured 23.6 vs 16.1 ms fwd).
+# WH kept as the legacy name for the vertical window extent that
+# ops.warp.pallas_ok checks H against.
+WH = WR
 
 
-def _xpair(ixr, W):
-    """Horizontal one-hot pair (W_out, W_src) + weight for one output row.
+def _band(s: int, W: int):
+    """Static (source-band start, band width, strip width) for strip s."""
+    bw = min(BW, W)
+    bs = min(max((s - 1) * LS, 0), W - bw)
+    sw = min(LS, W - s * LS)
+    return bs, bw, sw
 
-    O0 selects x0 = clamp(floor(ix), 0, W-2), O1 selects x0+1. Two iota
-    compares: measured FASTER than deriving O1 = pltpu.roll(O0, 1, lanes)
-    (lane rotation costs ~7 ms/step more than the extra compare on v5e —
-    scripts/exp_warp_fwd.py).
-    """
-    x0 = jnp.clip(jnp.floor(ixr), 0, W - 2).astype(jnp.int32)  # (W,)
-    wx = jnp.clip(ixr - x0.astype(jnp.float32), 0.0, 1.0)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)  # (out j, src w)
-    O0 = jnp.where(ids == x0[:, None], 1.0, 0.0)
-    O1 = jnp.where(ids == x0[:, None] + 1, 1.0, 0.0)
+
+def _xpair_strip(ixs, bs, bw, sw):
+    """Horizontal one-hot pair (BW_src, SW_out) + weight for one output
+    strip of one row. O0 selects x0 = clamp(floor(ix), bs, bs+bw-2)
+    band-locally, O1 selects x0+1."""
+    x0 = jnp.clip(jnp.floor(ixs), bs, bs + bw - 2).astype(jnp.int32)
+    wx = jnp.clip(ixs - x0.astype(jnp.float32), 0.0, 1.0)
+    wloc = x0 - bs                                        # (sw,)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (bw, sw), 0)
+    O0 = jnp.where(ids == wloc[None, :], 1.0, 0.0)
+    O1 = jnp.where(ids == wloc[None, :] + 1, 1.0, 0.0)
     return O0, O1, wx
 
 
-def _ypair(iyr, yb, W):
-    """Vertical one-hot pair (WH, W) (window-local) + weight, one row."""
-    ly = jnp.clip(jnp.floor(iyr).astype(jnp.int32) - yb, 0, WH - 2)  # (W,)
+def _ywin(iyr, H):
+    """Per-row window start (8-aligned) + window-local pick rows/weights."""
+    mn = jnp.min(iyr)
+    yb = jnp.clip(jnp.floor(mn).astype(jnp.int32), 0, H - WR)
+    yb = pl.multiple_of((yb // 8) * 8, 8)
+    ly = jnp.clip(jnp.floor(iyr).astype(jnp.int32) - yb, 0, WR - 2)
     wy = jnp.clip(iyr - (yb + ly).astype(jnp.float32), 0.0, 1.0)
-    rid = jax.lax.broadcasted_iota(jnp.int32, (WH, W), 0)
-    O0 = jnp.where(rid == ly[None, :], 1.0, 0.0)
-    O1 = jnp.where(rid == ly[None, :] + 1, 1.0, 0.0)
-    return O0, O1, wy
+    return yb, ly, wy
+
+
+def _ypair(lys, sw):
+    """Vertical one-hot pair (WR, SW) (window-local) for one strip."""
+    rid = jax.lax.broadcasted_iota(jnp.int32, (WR, sw), 0)
+    O0 = jnp.where(rid == lys[None, :], 1.0, 0.0)
+    O1 = jnp.where(rid == lys[None, :] + 1, 1.0, 0.0)
+    return O0, O1
 
 
 def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
     ix = ix_ref[0, 0, 0]  # (RT, W)
     iy = iy_ref[0, 0, 0]
-    yb = jnp.clip(jnp.floor(jnp.min(iy)).astype(jnp.int32), 0, H - WH)
-    # Mosaic needs the dynamic sublane start provably 8-aligned
-    yb = pl.multiple_of((yb // 8) * 8, 8)
-    win = src_ref[0, 0, :, pl.ds(yb, WH), :].reshape(C * WH, W)
-
+    n_strips = pl.cdiv(W, LS)
     for i in range(RT):
-        Ox0, Ox1, wx = _xpair(ix[i], W)
-        # weights in the source dtype: one-hots are exact, and bf16 wx only
-        # re-rounds what a bf16 MXU pass rounds anyway
-        Cx = (Ox0 + wx[:, None] * (Ox1 - Ox0)).astype(win.dtype)
-        Hrow = jax.lax.dot_general(
-            win, Cx, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec).reshape(C, WH, W)
-        Oy0, Oy1, wy = _ypair(iy[i], yb, W)
-        M = Oy0 + wy[None, :] * (Oy1 - Oy0)
-        out_ref[0, 0, 0, :, i, :] = (
-            (Hrow * M[None]).sum(axis=1)).astype(out_ref.dtype)
+        yb, ly, wy = _ywin(iy[i], H)
+        win = src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W)
+        for s in range(n_strips):
+            bs, bw, sw = _band(s, W)
+            cols = slice(s * LS, s * LS + sw)
+            O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw, sw)
+            # weights in the source dtype: one-hots are exact, and bf16 wx
+            # only re-rounds what a bf16 MXU pass rounds anyway
+            Cx = (O0 + wx[None, :] * (O1 - O0)).astype(win.dtype)
+            Hrow = jax.lax.dot_general(
+                win[:, bs:bs + bw], Cx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).reshape(C, WR, sw)
+            Y0, Y1 = _ypair(ly[cols], sw)
+            M = Y0 + wy[cols][None, :] * (Y1 - Y0)
+            out_ref[0, 0, 0, :, i, cols] = (
+                (Hrow * M[None]).sum(axis=1)).astype(out_ref.dtype)
 
 
 def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
                 *, H, W, C, prec):
     ix = ix_ref[0, 0, 0]
     iy = iy_ref[0, 0, 0]
-    yb = jnp.clip(jnp.floor(jnp.min(iy)).astype(jnp.int32), 0, H - WH)
-    yb = pl.multiple_of((yb // 8) * 8, 8)
-    win = src_ref[0, 0, :, pl.ds(yb, WH), :].reshape(C * WH, W)
-
+    n_strips = pl.cdiv(W, LS)
     for i in range(RT):
-        g = g_ref[0, 0, 0, :, i, :].astype(jnp.float32)  # (C, W)
-        # two one-hot matmuls give BOTH Hrow and its x-derivative:
-        # Hrow = A0 (1-wx) + A1 wx, dHrow/dix = A1 - A0
-        Ox0, Ox1, wx = _xpair(ix[i], W)
-        A0 = jax.lax.dot_general(
-            win, Ox0.astype(win.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec).reshape(C, WH, W)
-        A1 = jax.lax.dot_general(
-            win, Ox1.astype(win.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec).reshape(C, WH, W)
-        Hrow = A0 + wx[None, None, :] * (A1 - A0)
-        Hder = A1 - A0
-        Oy0, Oy1, wy = _ypair(iy[i], yb, W)
-        M = Oy0 + wy[None, :] * (Oy1 - Oy0)
-        Md = Oy1 - Oy0
-        # d out / d ix = vertical-interp of the horizontal derivative
-        cix_ref[0, 0, 0, i, :] = (
-            g * (Hder * M[None]).sum(axis=1)).sum(axis=0)
-        # d out / d iy = vertical derivative of the horizontal interp
-        ciy_ref[0, 0, 0, i, :] = (
-            g * (Hrow * Md[None]).sum(axis=1)).sum(axis=0)
+        yb, ly, wy = _ywin(iy[i], H)
+        win = src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W)
+        for s in range(n_strips):
+            bs, bw, sw = _band(s, W)
+            cols = slice(s * LS, s * LS + sw)
+            g = g_ref[0, 0, 0, :, i, cols].astype(jnp.float32)  # (C, sw)
+            # two one-hot matmuls give BOTH Hrow and its x-derivative:
+            # Hrow = A0 (1-wx) + A1 wx, dHrow/dix = A1 - A0
+            O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw, sw)
+            band = win[:, bs:bs + bw]
+            A0 = jax.lax.dot_general(
+                band, O0.astype(win.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).reshape(C, WR, sw)
+            A1 = jax.lax.dot_general(
+                band, O1.astype(win.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).reshape(C, WR, sw)
+            Hrow = A0 + wx[None, None, :] * (A1 - A0)
+            Hder = A1 - A0
+            Y0, Y1 = _ypair(ly[cols], sw)
+            wys = wy[cols]
+            M = Y0 + wys[None, :] * (Y1 - Y0)
+            Md = Y1 - Y0
+            # d out / d ix = vertical-interp of the horizontal derivative
+            cix_ref[0, 0, 0, i, cols] = (
+                g * (Hder * M[None]).sum(axis=1)).sum(axis=0)
+            # d out / d iy = vertical derivative of the horizontal interp
+            ciy_ref[0, 0, 0, i, cols] = (
+                g * (Hrow * Md[None]).sum(axis=1)).sum(axis=0)
 
 
 def _specs(n_src, n_scales, B, C, H, W):
@@ -158,7 +187,7 @@ def _warp(coords, sources, interpret, prec):
 def _warp_fwd(coords, sources, interpret, prec):
     n_src, n_scales, B, H, W, _ = coords.shape
     C = sources.shape[2]
-    assert H % RT == 0 and H >= WH, (H, W)
+    assert H % RT == 0 and H >= WR, (H, W)
     grid, cspec, sspec, ospec = _specs(n_src, n_scales, B, C, H, W)
     ix = coords[..., 0]
     iy = coords[..., 1]
@@ -252,13 +281,15 @@ def analytic_costs(n, k, B, C, H, W, bwd=False, dtype_bytes=2):
 
     XLA's compiled cost analysis cannot see inside pallas_call, so the
     roofline accounting (scripts/bench_anatomy.py --costs) adds these.
-    Forward: one (C*WH, W) @ (W, W) one-hot matmul per output row; backward
-    runs two (A0, A1 -> value + x-derivative). HBM: coords (f32) + one
-    source-window fetch per (n, k, B) program run + the output (and, on the
-    backward, the incoming cotangent and the two coordinate cotangents).
+    Forward: per output row, one (C*WR, BW) @ (BW, SW) one-hot matmul per
+    128-column output strip; backward runs two (A0, A1 -> value +
+    x-derivative). HBM: coords (f32) + one source-window fetch per
+    (n, k, B) program run + the output (and, on the backward, the incoming
+    cotangent and the two coordinate cotangents).
     """
     rows = n * k * B * H
-    mm = 2 * C * WH * W * W
+    mm = sum(2 * C * WR * min(BW, W) * _band(s, W)[2]
+             for s in range(-(-W // LS)))
     flops = rows * mm * (2 if bwd else 1)
     coords = n * k * B * H * W * 4 * 2
     src = n * k * B * C * H * W * dtype_bytes

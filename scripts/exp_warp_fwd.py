@@ -49,29 +49,5 @@ def timeit(name, s):
           f"(min {st['min']/10*1e3:.2f})")
 
 
-timeit("A f32+roll  ", src)
-timeit("B bf16+roll ", src.astype(jnp.bfloat16))
-
-
-def _xpair_cmp(ixr, Wd):
-    x0 = jnp.clip(jnp.floor(ixr), 0, Wd - 2).astype(jnp.int32)
-    wx = jnp.clip(ixr - x0.astype(jnp.float32), 0.0, 1.0)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (Wd, Wd), 1)
-    O0 = jnp.where(ids == x0[:, None], 1.0, 0.0)
-    O1 = jnp.where(ids == x0[:, None] + 1, 1.0, 0.0)
-    return O0, O1, wx
-
-
-def _ypair_cmp(iyr, yb, Wd):
-    ly = jnp.clip(jnp.floor(iyr).astype(jnp.int32) - yb, 0, pw.WH - 2)
-    wy = jnp.clip(iyr - (yb + ly).astype(jnp.float32), 0.0, 1.0)
-    rid = jax.lax.broadcasted_iota(jnp.int32, (pw.WH, Wd), 0)
-    O0 = jnp.where(rid == ly[None, :], 1.0, 0.0)
-    O1 = jnp.where(rid == ly[None, :] + 1, 1.0, 0.0)
-    return O0, O1, wy
-
-
-pw._xpair = _xpair_cmp
-pw._ypair = _ypair_cmp
-timeit("C f32+2cmp  ", src)
-timeit("D bf16+2cmp ", src.astype(jnp.bfloat16))
+timeit("A f32  ", src)
+timeit("B bf16 ", src.astype(jnp.bfloat16))
