@@ -91,18 +91,40 @@ def _ywin(iyr, H):
     return yb, ly, wy
 
 
-def _ypair(lys, sw):
-    """Vertical one-hot pair (WR, SW) (window-local) for one strip."""
-    rid = jax.lax.broadcasted_iota(jnp.int32, (WR, sw), 0)
-    O0 = jnp.where(rid == lys[None, :], 1.0, 0.0)
-    O1 = jnp.where(rid == lys[None, :] + 1, 1.0, 0.0)
+def _ypair_full(lys, C, sw):
+    """Vertical one-hot pair (C*WR, SW): row c*WR+k of O0 is 1 where
+    lys == k — the per-channel vertical pick masks stacked the same way
+    the window rows are, so the masked window never needs a (C, WR, sw)
+    reshape (whose sublane reduction Mosaic lays out replicated and then
+    cannot store lane-sliced: "Invalid relayout ... replicated in
+    destination but not in source")."""
+    rid = jax.lax.broadcasted_iota(jnp.int32, (C * WR, sw), 0)
+    kloc = rid - (rid // WR) * WR
+    O0 = jnp.where(kloc == lys[None, :], 1.0, 0.0)
+    O1 = jnp.where(kloc == lys[None, :] + 1, 1.0, 0.0)
     return O0, O1
+
+
+def _chan_matrices(C, dtype):
+    """One-hot channel-segment matrices built from iota (Mosaic rejects
+    captured module constants): Pt (C, C*WR) sums each channel's WR-row
+    block (an MXU contraction returns a PACKED (C, sw) layout, unlike a
+    sublane reduction); P (C*WR, C) expands per-channel rows to the
+    stacked block form."""
+    cid = jax.lax.broadcasted_iota(jnp.int32, (C, C * WR), 0)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (C, C * WR), 1)
+    Pt = jnp.where(rid // WR == cid, 1.0, 0.0).astype(dtype)
+    rid2 = jax.lax.broadcasted_iota(jnp.int32, (C * WR, C), 0)
+    cid2 = jax.lax.broadcasted_iota(jnp.int32, (C * WR, C), 1)
+    P = jnp.where(rid2 // WR == cid2, 1.0, 0.0).astype(dtype)
+    return Pt, P
 
 
 def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
     ix = ix_ref[0, 0, 0]  # (RT, W)
     iy = iy_ref[0, 0, 0]
-    n_strips = pl.cdiv(W, LS)
+    n_strips = -(-W // LS)
+    Pt, _ = _chan_matrices(C, jnp.float32)
     for i in range(RT):
         yb, ly, wy = _ywin(iy[i], H)
         win = src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W)
@@ -116,18 +138,21 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
             Hrow = jax.lax.dot_general(
                 win[:, bs:bs + bw], Cx, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=prec).reshape(C, WR, sw)
-            Y0, Y1 = _ypair(ly[cols], sw)
+                precision=prec)                        # (C*WR, sw)
+            Y0, Y1 = _ypair_full(ly[cols], C, sw)
             M = Y0 + wy[cols][None, :] * (Y1 - Y0)
-            out_ref[0, 0, 0, :, i, cols] = (
-                (Hrow * M[None]).sum(axis=1)).astype(out_ref.dtype)
+            out_ref[0, 0, 0, :, i, cols] = jax.lax.dot_general(
+                Pt, Hrow * M, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(out_ref.dtype)
 
 
 def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
                 *, H, W, C, prec):
     ix = ix_ref[0, 0, 0]
     iy = iy_ref[0, 0, 0]
-    n_strips = pl.cdiv(W, LS)
+    n_strips = -(-W // LS)
+    _, P = _chan_matrices(C, jnp.float32)
     for i in range(RT):
         yb, ly, wy = _ywin(iy[i], H)
         win = src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W)
@@ -135,30 +160,33 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
             bs, bw, sw = _band(s, W)
             cols = slice(s * LS, s * LS + sw)
             g = g_ref[0, 0, 0, :, i, cols].astype(jnp.float32)  # (C, sw)
+            # expand g to the stacked-block form so every reduction below
+            # is a full sublane sum to a 1D row (a layout Mosaic stores
+            # lane-sliced without relayout)
+            gfull = jax.lax.dot_general(
+                P, g, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                         # (C*WR, sw)
             # two one-hot matmuls give BOTH Hrow and its x-derivative:
             # Hrow = A0 (1-wx) + A1 wx, dHrow/dix = A1 - A0
             O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw, sw)
             band = win[:, bs:bs + bw]
             A0 = jax.lax.dot_general(
                 band, O0.astype(win.dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec).reshape(C, WR, sw)
+                preferred_element_type=jnp.float32, precision=prec)
             A1 = jax.lax.dot_general(
                 band, O1.astype(win.dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec).reshape(C, WR, sw)
-            Hrow = A0 + wx[None, None, :] * (A1 - A0)
+                preferred_element_type=jnp.float32, precision=prec)
+            Hrow = A0 + wx[None, :] * (A1 - A0)        # (C*WR, sw)
             Hder = A1 - A0
-            Y0, Y1 = _ypair(ly[cols], sw)
+            Y0, Y1 = _ypair_full(ly[cols], C, sw)
             wys = wy[cols]
             M = Y0 + wys[None, :] * (Y1 - Y0)
             Md = Y1 - Y0
             # d out / d ix = vertical-interp of the horizontal derivative
-            cix_ref[0, 0, 0, i, cols] = (
-                g * (Hder * M[None]).sum(axis=1)).sum(axis=0)
+            cix_ref[0, 0, 0, i, cols] = (gfull * Hder * M).sum(axis=0)
             # d out / d iy = vertical derivative of the horizontal interp
-            ciy_ref[0, 0, 0, i, cols] = (
-                g * (Hrow * Md[None]).sum(axis=1)).sum(axis=0)
+            ciy_ref[0, 0, 0, i, cols] = (gfull * Hrow * Md).sum(axis=0)
 
 
 def _specs(n_src, n_scales, B, C, H, W):
