@@ -375,16 +375,15 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 # fail to compile on the real chip is skipped, not fatal) and reports the
 # best measured throughput, so an unvalidated kernel can never cost the
 # round its benchmark number. `pool` toggles the Pallas stem-maxpool via
-# its env gate (ops/pooling.py) — the last rung is the round-2-proven path.
-# the banded warp's one-hot matmuls are a ~22 ms MXU floor (4.35 TFLOP/step
-# analytic, ops/pallas_warp.analytic_costs) — the gather backend removes it,
-# so the gather rung leads
+# its env gate (ops/pooling.py). Round-3 sweep results (v5e, 2026-08-18,
+# /tmp/tpu_drive + PERF.md): the strip-banded warp cut the step 95.4 ->
+# 82.5 ms; pallas_reproj is throughput-neutral in the full step (XLA
+# overlaps the stacked SSIM+L1 anyway) but carries less HBM; the gather
+# warp backend (136 ms) and paired encoders (106 ms) measured SLOWER and
+# were dropped from the ladder. Defaults-first; the last rung is the
+# no-Pallas-pool fallback.
 TRAIN_LADDER = [
-    ("r3_gather_reproj_paired", dict(pallas_reproj=True,
-                                     paired_encoders=True,
-                                     pallas_warp_backend="gather")),
-    ("r3_reproj_paired", dict(pallas_reproj=True, paired_encoders=True)),
-    ("r2_proven", dict()),
+    ("r3_banded_strip", dict()),
     ("r3_reproj", dict(pallas_reproj=True)),
     ("r2_no_pallas_pool", dict(_pool="0")),
 ]

@@ -13,9 +13,9 @@ def _fake_bench_train(results):
     """bench_train stub keyed by the pallas flags of the benched config."""
 
     def fake(cfg_kwargs, metric, batch):
+        import os
         key = (bool(cfg_kwargs.get("pallas_reproj")),
-               bool(cfg_kwargs.get("paired_encoders")),
-               cfg_kwargs.get("pallas_warp_backend", "banded"))
+               os.environ.get("FUSIONDEPTH_PALLAS_POOL", "1") == "0")
         out = results[key]
         if isinstance(out, Exception):
             raise out
@@ -28,27 +28,23 @@ def _fake_bench_train(results):
 
 def test_ladder_picks_best_and_survives_failures(monkeypatch):
     results = {
-        (True, True, "gather"): RuntimeError("dynamic_gather unsupported"),
-        (True, True, "banded"): RuntimeError("mosaic lowering failed"),
-        (True, False, "banded"): 120.0,
-        (False, False, "banded"): 50.0,
+        (False, False): RuntimeError("mosaic lowering failed"),
+        (True, False): 120.0,
+        (False, True): 50.0,
     }
     monkeypatch.setattr(bench, "bench_train", _fake_bench_train(results))
     r = bench.bench_train_ladder({}, explicit=False, on_tpu=True)
     assert r["value"] == 120.0
     assert r["config_flags"] == "r3_reproj"
-    assert "error" in r["ladder"]["r3_gather_reproj_paired"]
-    assert "error" in r["ladder"]["r3_reproj_paired"]
-    # the proven rung and its pool-off twin both ran and were recorded
-    assert r["ladder"]["r2_proven"]["value"] == 50.0
+    assert "error" in r["ladder"]["r3_banded_strip"]
+    # the no-Pallas-pool fallback rung ran and was recorded
     assert r["ladder"]["r2_no_pallas_pool"]["value"] == 50.0
 
 
 def test_ladder_all_rungs_failing_raises(monkeypatch):
     err = RuntimeError("tunnel down")
     results = {k: err for k in [
-        (True, True, "gather"), (True, True, "banded"),
-        (True, False, "banded"), (False, False, "banded")]}
+        (False, False), (True, False), (False, True)]}
     monkeypatch.setattr(bench, "bench_train", _fake_bench_train(results))
     with pytest.raises(RuntimeError, match="every ladder rung failed"):
         bench.bench_train_ladder({}, explicit=False, on_tpu=True)
