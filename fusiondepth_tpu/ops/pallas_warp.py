@@ -81,6 +81,27 @@ def _xpair_strip(ixs, bs, bw, sw):
     return O0, O1, wx
 
 
+def _cx_tent(ixs, bs, bw, sw, dtype):
+    """Blended horizontal weight matrix (BW_src, SW_out) as a tent
+    function: relu(1 - |w - ix|) IS the bilinear pair ((1-wx) at x0, wx
+    at x0+1, incl. the border clamp) — built in 4 VPU ops over the
+    (bw, sw) tile instead of two iota-compares plus a 3-op blend.
+    Computed in f32 (bf16 cannot represent lane ids >= 256 exactly),
+    cast to the matmul dtype at the end."""
+    ixloc = jnp.clip(ixs, bs, bs + bw - 1) - bs
+    ids = jax.lax.broadcasted_iota(jnp.float32, (bw, sw), 0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(ids - ixloc[None, :])).astype(
+        dtype)
+
+
+def _my_tent(iyr_loc, C, sw):
+    """Blended vertical pick mask (C*WR, SW) as a tent function over the
+    window-local row index (same channel-block stacking as _ypair_full)."""
+    rid = jax.lax.broadcasted_iota(jnp.int32, (C * WR, sw), 0)
+    kloc = (rid - (rid // WR) * WR).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(kloc - iyr_loc[None, :]))
+
+
 def _ywin(iyr, H):
     """Per-row window start (8-aligned) + window-local pick rows/weights."""
     mn = jnp.min(iyr)
@@ -126,21 +147,21 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
     n_strips = -(-W // LS)
     Pt, _ = _chan_matrices(C, jnp.float32)
     for i in range(RT):
-        yb, ly, wy = _ywin(iy[i], H)
+        yb, _, _ = _ywin(iy[i], H)
+        yloc = jnp.clip(iy[i] - yb.astype(jnp.float32), 0.0, WR - 1.0)
         win = src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W)
         for s in range(n_strips):
             bs, bw, sw = _band(s, W)
             cols = slice(s * LS, s * LS + sw)
-            O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw, sw)
-            # weights in the source dtype: one-hots are exact, and bf16 wx
-            # only re-rounds what a bf16 MXU pass rounds anyway
-            Cx = (O0 + wx[None, :] * (O1 - O0)).astype(win.dtype)
+            # weights in the source dtype: tent weights are exact at the
+            # two support columns, and bf16 wx only re-rounds what a bf16
+            # MXU pass rounds anyway
+            Cx = _cx_tent(ix[i, cols], bs, bw, sw, win.dtype)
             Hrow = jax.lax.dot_general(
                 win[:, bs:bs + bw], Cx, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)                        # (C*WR, sw)
-            Y0, Y1 = _ypair_full(ly[cols], C, sw)
-            M = Y0 + wy[cols][None, :] * (Y1 - Y0)
+            M = _my_tent(yloc[cols], C, sw)
             out_ref[0, 0, 0, :, i, cols] = jax.lax.dot_general(
                 Pt, Hrow * M, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
