@@ -89,7 +89,9 @@ def _cx_tent(ixs, bs, bw, sw, dtype):
     Computed in f32 (bf16 cannot represent lane ids >= 256 exactly),
     cast to the matmul dtype at the end."""
     ixloc = jnp.clip(ixs, bs, bs + bw - 1) - bs
-    ids = jax.lax.broadcasted_iota(jnp.float32, (bw, sw), 0)
+    # tpu.iota is integer-only on Mosaic; cast after
+    ids = jax.lax.broadcasted_iota(jnp.int32, (bw, sw), 0).astype(
+        jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(ids - ixloc[None, :])).astype(
         dtype)
 
