@@ -250,6 +250,14 @@ def bench_train(cfg_kwargs, metric, batch):
         # provisions the torchvision checkpoints on offline hosts)
         "weights_init": ("pretrained" if APPLIED and all(APPLIED.values())
                          else "random")}
+    if result["weights_init"] == "random":
+        # throughput is init-independent; quality-loop evidence for the
+        # pretrained path lives in tests/test_pretrained_init.py and
+        # tests/test_overfit.py (this host is zero-egress: no torchvision
+        # checkpoint can be downloaded — provision one with
+        # scripts/fetch_pretrained.py --from <dir>)
+        result["weights_note"] = ("zero-egress host, no ImageNet ckpt; "
+                                  "provision: scripts/fetch_pretrained.py")
     result.update(flops_fields(flops, dt, nbytes))
     return cfg, nets, holder["state"], data, result
 
@@ -264,6 +272,8 @@ def bench_inference(cfg_kwargs, metric, batch=1):
         combine_variables,
     )
 
+    cfg_kwargs = dict(cfg_kwargs)
+    cfg_kwargs.pop("batch_size", None)  # --set batch_size targets training
     cfg = Config(batch_size=batch, **cfg_kwargs)
     nets = FusionNets(cfg)
     tx = make_optimizer(cfg, 1)
@@ -385,6 +395,7 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 TRAIN_LADDER = [
     ("r3_banded_strip", dict()),
     ("r3_reproj", dict(pallas_reproj=True)),
+    ("r3_band_decoder", dict(_halo="0")),  # halo-conv fallback (ops/folded)
     ("r2_no_pallas_pool", dict(_pool="0")),
 ]
 
@@ -416,8 +427,8 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
             ladder[name] = {"skipped": "budget"}
             continue
         flags = dict(flags)
-        pool = flags.pop("_pool", "1")
-        os.environ["FUSIONDEPTH_PALLAS_POOL"] = pool
+        os.environ["FUSIONDEPTH_PALLAS_POOL"] = flags.pop("_pool", "1")
+        os.environ["FUSIONDEPTH_FOLD_HALO"] = flags.pop("_halo", "1")
         try:
             r = bench_train(dict(base, **flags), metric, batch=12)[-1]
         except Exception as e:  # noqa: BLE001 - rung must not kill the run
@@ -427,6 +438,7 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
             continue
         finally:
             os.environ.pop("FUSIONDEPTH_PALLAS_POOL", None)
+            os.environ.pop("FUSIONDEPTH_FOLD_HALO", None)
         ladder[name] = {"value": r["value"], "step_ms": r["step_ms"]}
         print(f"ladder rung {name}: {r['value']} samples/s", file=sys.stderr)
         if best is None or r["value"] > best[1]["value"]:

@@ -187,6 +187,16 @@ class Config:
     # models/resnet._S2DStemConv) — avoids the strided-stem wgrad im2col
     # chain XLA emits on TPU. Param shapes unchanged.
     s2d_stem: bool = False
+    # Batch-pair packing of every encoder's C=64 region (bn1/relu/pool/
+    # layer1): two samples side by side in the lanes, layer1 convs as
+    # feature_group_count=2 — dense 128-lane tiles, exact same math
+    # (models/resnet.pack2; exactness pinned at f64 by tests/test_pack2).
+    # Default OFF: 1.8x faster on the isolated layer1 conv grad
+    # (scripts/exp_convnet.py convg2_64_grad vs conv64_grad, v5e) but the
+    # pack/unpack lane-regroup relayouts cost more than that win in the
+    # full encoder (enc3_grad 6.95 -> 8.60 ms measured) — kept as a
+    # probe-able lever for wider-batch / deeper-pack studies.
+    pack2_encoder: bool = False
     # Multi-host bring-up (SURVEY §5: jax.distributed.initialize + per-host
     # input sharding; parallel/multihost.py). batch_size stays GLOBAL — each
     # host loads batch_size / num_processes samples of ITS split slice.

@@ -115,6 +115,10 @@ class DepthDecoder(nn.Module):
     deep: bool = False
     tanh_head: bool = False
     folded: bool = False
+    # perf-probe: stop after finishing stage `probe_stop` (4..0); the
+    # last folded feature is returned under ("probe_x", 0) so truncated
+    # decoders remain differentiable end-to-end (scripts/exp_convnet.py)
+    probe_stop: Optional[int] = None
     dtype: Any = jnp.float32
 
     def _block(self, features, name):
@@ -183,6 +187,9 @@ class DepthDecoder(nn.Module):
                     outputs[("disp", i)] = jnp.tanh(d)
                 else:
                     outputs[("disp", i)] = nn.sigmoid(d)
+            if self.probe_stop is not None and i == self.probe_stop:
+                outputs[("probe_x", 0)] = x
+                return outputs
 
         return outputs
 
@@ -234,5 +241,8 @@ class DepthDecoder(nn.Module):
                     outputs[("disp", i)] = jnp.tanh(d)
                 else:
                     outputs[("disp", i)] = nn.sigmoid(d)
+            if self.probe_stop is not None and i == self.probe_stop:
+                outputs[("probe_x", 0)] = xf
+                return outputs
 
         return outputs

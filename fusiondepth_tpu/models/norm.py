@@ -31,14 +31,22 @@ from flax import linen as nn
 
 
 class BatchNorm(nn.Module):
+    """`pack`: the input carries `pack` batch samples side by side in the
+    channel dim (lane index j*C + c for pack slot j — the encoder's
+    batch-pair packing, models/resnet.py). Parameters and running stats
+    keep the per-channel shape (C,); batch statistics are computed over
+    the packed lanes and TIED across slots, which equals the unpacked
+    global-batch statistics exactly (equal counts per slot)."""
+
     use_running_average: bool = False
     momentum: float = 0.9
     epsilon: float = 1e-5
+    pack: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        feat = x.shape[-1]
+        feat = x.shape[-1] // self.pack
         scale = self.param("scale", nn.initializers.ones, (feat,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (feat,),
@@ -54,8 +62,16 @@ class BatchNorm(nn.Module):
         else:
             red = tuple(range(x.ndim - 1))
             # f32 ACCUMULATION without an f32 materialization of x
-            mean = jnp.mean(x, axis=red, dtype=jnp.float32)
-            mean2 = jnp.mean(x * x, axis=red, dtype=jnp.float32)
+            # (promote keeps f64 debug runs in f64 instead of downcasting)
+            acc = jnp.promote_types(jnp.float32, x.dtype)
+            mean = jnp.mean(x, axis=red, dtype=acc)
+            mean2 = jnp.mean(x * x, axis=red, dtype=acc)
+            if self.pack > 1:
+                # tie slots: slot-j lanes hold distinct batch samples of
+                # the SAME channel; averaging the slot means reproduces
+                # the unpacked batch mean exactly
+                mean = mean.reshape(self.pack, feat).mean(axis=0)
+                mean2 = mean2.reshape(self.pack, feat).mean(axis=0)
             var = jnp.maximum(mean2 - mean * mean, 0.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -65,4 +81,7 @@ class BatchNorm(nn.Module):
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
         A = inv.astype(self.dtype)
         Bc = (bias - mean * inv).astype(self.dtype)
+        if self.pack > 1:
+            A = jnp.tile(A, self.pack)
+            Bc = jnp.tile(Bc, self.pack)
         return x.astype(self.dtype) * A + Bc

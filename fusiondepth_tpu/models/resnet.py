@@ -89,13 +89,68 @@ from fusiondepth_tpu.ops.pooling import max_pool_3x3s2  # noqa: E402
 # ops/pooling.py — see its docstring for the TPU layout rationale)
 
 
+def pack2(x):
+    """(2n, H, W, C) -> (n, H, W, 2C): adjacent batch pairs side by side in
+    the channel (lane) dim — out[i, ..., j*C + c] = x[2i + j, ..., c].
+
+    Rationale (measured, scripts/exp_convnet.py convg2_64 vs conv64): the
+    encoder's C=64 region fills half of every 128-lane tile; packing two
+    samples makes the lanes dense, and XLA lowers feature_group_count=2
+    convs at full density (1.8x faster grads), unlike g>=4 (which it
+    scalarizes to ~1% MFU — the decoder keeps W-folding instead)."""
+    B, H, W, C = x.shape
+    return x.reshape(B // 2, 2, H, W, C).transpose(0, 2, 3, 1, 4) \
+            .reshape(B // 2, H, W, 2 * C)
+
+
+def unpack2(x):
+    """Inverse of pack2."""
+    Bh, H, W, C2 = x.shape
+    C = C2 // 2
+    return x.reshape(Bh, H, W, 2, C).transpose(0, 3, 1, 2, 4) \
+            .reshape(2 * Bh, H, W, C)
+
+
+class _PairConv3x3(nn.Module):
+    """3x3 stride-1 conv applied per pack slot (feature_group_count=2) with
+    nn.Conv's exact param name/shape/init — the same (3,3,Cin,Cout) kernel
+    serves both slots, so checkpoints and torch import are unchanged."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_features, self.features), jnp.float32)
+        k2 = jnp.concatenate([k, k], axis=-1).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x, k2, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=2)
+
+
 class _BasicBlock(nn.Module):
     features: int
     stride: int = 1
+    packed: bool = False  # input is pack2-packed (2 samples in lanes)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.packed:
+            assert self.stride == 1 and x.shape[-1] == 2 * self.features
+            norm = lambda name: BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                pack=2, dtype=self.dtype, name=name)
+            y = _PairConv3x3(self.features, self.features,
+                             dtype=self.dtype, name="conv1")(x)
+            y = nn.relu(norm("bn1")(y))
+            y = _PairConv3x3(self.features, self.features,
+                             dtype=self.dtype, name="conv2")(y)
+            y = norm("bn2")(y)
+            return nn.relu(y + x)
         norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
@@ -162,6 +217,11 @@ class ResnetEncoder(nn.Module):
     in_channels: int = 3
     normalize_input: bool = True
     s2d_stem: bool = False
+    # batch-pair packing for the C=64 region (bn1/relu/pool/layer1): two
+    # samples side by side in the lanes, convs as feature_group_count=2 —
+    # dense 128-lane tiles, exact same math (see pack2's docstring).
+    # Applies when the batch is even and the depth uses _BasicBlock.
+    pack2: bool = False
     truncate_at: Optional[int] = None  # perf-probe: stop after N stages
     dtype: Any = jnp.float32
 
@@ -186,19 +246,43 @@ class ResnetEncoder(nn.Module):
                         dtype=self.dtype, name="conv1")(x)
         if stop == 1:
             return [y]
-        y = BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
-        y = nn.relu(y)
-        features.append(y)
-        if stop == 2:
-            return features
 
-        y = max_pool_3x3s2(y)
-        if stop == 3:
-            return features + [y]
+        use_pack = (self.pack2 and not bottleneck and y.shape[0] % 2 == 0)
+        if use_pack:
+            yp = pack2(y)
+            yp = BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, pack=2, dtype=self.dtype,
+                           name="bn1")(yp)
+            yp = nn.relu(yp)
+            features.append(unpack2(yp))
+            if stop == 2:
+                return features
+            yp = max_pool_3x3s2(yp)
+            if stop == 3:
+                return features + [unpack2(yp)]
+            for block_i in range(stages[0]):
+                yp = _BasicBlock(64, 1, packed=True, dtype=self.dtype,
+                                 name=f"layer1_{block_i}")(yp, train)
+            y = unpack2(yp)
+            features.append(y)
+            if stop == 4:
+                return features
+        else:
+            y = BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+            y = nn.relu(y)
+            features.append(y)
+            if stop == 2:
+                return features
+
+            y = max_pool_3x3s2(y)
+            if stop == 3:
+                return features + [y]
 
         widths = (64, 128, 256, 512)
         for stage_i, (w, n_blocks) in enumerate(zip(widths, stages)):
+            if use_pack and stage_i == 0:
+                continue  # layer1 ran packed above
             for block_i in range(n_blocks):
                 stride = 2 if (stage_i > 0 and block_i == 0) else 1
                 y = block(w, stride, dtype=self.dtype,

@@ -111,22 +111,78 @@ def reflect_pad_folded(xf, F: int, C: int):
     return jnp.concatenate([left, xf, right], axis=2)
 
 
-def conv3x3_folded(inputs, kernels, bias=None, *, F: int, pad: bool = True):
+def halo_kernel3x3(w, F: int):
+    """(3, 3, Cin, Cout) -> (3, 1, (F+2)*Cin, F*Cout) halo kernel.
+
+    Pairs with halo_pad_folded: the W taps live in the CHANNEL dim (halo
+    slot s = original in-fold column s-1, plus one neighbour column each
+    side), so the conv's W extent is 1 folded column. Out slot po's tap
+    dx reads halo slot po+1+dx. MAC inflation vs the dense unfolded conv
+    is (F+2)/3 — vs the band kernel's F (F=8: 3.33x instead of 8x)."""
+    _, _, Ci, Co = w.shape
+    ind = np.zeros((3, F + 2, F), np.float32)
+    for po in range(F):
+        for dx in (-1, 0, 1):
+            ind[dx + 1, po + 1 + dx, po] = 1.0
+    ind = jnp.asarray(ind).astype(w.dtype)
+    # wf[y, s*Ci+ci, q*Co+co] = sum_dx w[y, dx, ci, co] ind[dx, s, q]
+    wf = jnp.einsum("ydcb,dsq->yscqb", w, ind)
+    return wf.reshape(3, 1, (F + 2) * Ci, F * Co)
+
+
+def halo_pad_folded(xf, F: int, C: int):
+    """(B, H, Wf, F*C) -> (B, H+2, Wf, (F+2)*C): reflect-pad H by one row
+    and add the two neighbour original columns as extra channel slots
+    (slot 0 = original col F*j - 1, slot F+1 = col F*(j+1)); the W borders
+    reflect with the edge excluded (torch semantics, matching
+    reflect_pad_folded). The W-shifts are whole-folded-column slices —
+    no sublane striding."""
+    B, H, Wf, FC = xf.shape
+    assert F >= 2, F
+    xf = jnp.concatenate([xf[:, 1:2], xf, xf[:, -2:-1]], axis=1)
+    last = xf[..., (F - 1) * C:]
+    first = xf[..., :C]
+    # col 0's left neighbour is original col -1 -> reflect -> col 1
+    lh = jnp.concatenate([xf[:, :, :1, C:2 * C], last[:, :, :-1]], axis=2)
+    # last col's right neighbour is col W -> reflect -> col W-2
+    rh = jnp.concatenate(
+        [first[:, :, 1:], xf[:, :, -1:, (F - 2) * C:(F - 1) * C]], axis=2)
+    return jnp.concatenate([lh, xf, rh], axis=-1)
+
+
+# A/B gate for the halo formulation (measured faster; the band form stays
+# as the fallback and the oracle for tests/test_folded.py)
+_HALO = __import__("os").environ.get("FUSIONDEPTH_FOLD_HALO", "1") != "0"
+
+
+def conv3x3_folded(inputs, kernels, bias=None, *, F: int, pad: bool = True,
+                   halo: bool | None = None):
     """3x3 stride-1 conv over the (virtual) concatenation of `inputs`.
 
     inputs: list of folded (B, H, Wf, F*Ci) tensors (same B, H, Wf, F).
     kernels: matching list of (3, 3, Ci, Cout) weights.
-    Computed as a sum of per-input folded band convs — the concat is never
+    Computed as a sum of per-input folded convs — the concat is never
     materialized. Each conv runs in the input dtype (the MXU accumulates
     f32 internally either way; a mixed-dtype preferred_element_type would
     break the conv's VJP transpose); the cross-input partial sums and the
     bias add accumulate in f32. Returns f32 (caller casts).
+
+    halo=None picks the halo-channel formulation (halo_kernel3x3) when
+    F >= 2 and reflect padding is on: (F+2)/3 MAC inflation instead of
+    the band kernel's F, at the cost of materializing the (F+2)/F-wider
+    halo input. Identical multiply-add set either way.
     """
+    if halo is None:
+        halo = _HALO and F >= 2 and pad
     out = None
     for xfi, w in zip(inputs, kernels):
         Ci = w.shape[2]
-        wf = fold_kernel3x3(w, F)
-        xp = reflect_pad_folded(xfi, F, Ci) if pad else xfi
+        if halo:
+            wf = halo_kernel3x3(w, F)
+            xp = halo_pad_folded(xfi, F, Ci)
+        else:
+            wf = fold_kernel3x3(w, F)
+            xp = reflect_pad_folded(xfi, F, Ci) if pad else xfi
         y = jax.lax.conv_general_dilated(
             xp, wf.astype(xp.dtype), (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -68,40 +68,45 @@ def _band(s: int, W: int):
     return bs, bw, sw
 
 
-def _xpair_strip(ixs, bs, bw, sw):
+def _xpair_strip(ixs, bs, bw, ids):
     """Horizontal one-hot pair (BW_src, SW_out) + weight for one output
     strip of one row. O0 selects x0 = clamp(floor(ix), bs, bs+bw-2)
-    band-locally, O1 selects x0+1."""
+    band-locally, O1 selects x0+1. `ids` is the hoisted int32 (bw, sw)
+    source-column iota (loop-invariant across rows and strips)."""
     x0 = jnp.clip(jnp.floor(ixs), bs, bs + bw - 2).astype(jnp.int32)
     wx = jnp.clip(ixs - x0.astype(jnp.float32), 0.0, 1.0)
     wloc = x0 - bs                                        # (sw,)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (bw, sw), 0)
     O0 = jnp.where(ids == wloc[None, :], 1.0, 0.0)
     O1 = jnp.where(ids == wloc[None, :] + 1, 1.0, 0.0)
     return O0, O1, wx
 
 
-def _cx_tent(ixs, bs, bw, sw, dtype):
+def _cx_tent(ixs, bs, bw, ids, dtype):
     """Blended horizontal weight matrix (BW_src, SW_out) as a tent
     function: relu(1 - |w - ix|) IS the bilinear pair ((1-wx) at x0, wx
     at x0+1, incl. the border clamp) — built in 4 VPU ops over the
     (bw, sw) tile instead of two iota-compares plus a 3-op blend.
-    Computed in f32 (bf16 cannot represent lane ids >= 256 exactly),
-    cast to the matmul dtype at the end."""
+    `ids` is the hoisted f32 (bw, sw) source-column iota (identical for
+    every row and strip — tpu.iota is integer-only on Mosaic and the
+    int->f32 cast is a full-tile VPU pass, so it is built ONCE per
+    program, not per (row, strip))."""
     ixloc = jnp.clip(ixs, bs, bs + bw - 1) - bs
-    # tpu.iota is integer-only on Mosaic; cast after
-    ids = jax.lax.broadcasted_iota(jnp.int32, (bw, sw), 0).astype(
-        jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(ids - ixloc[None, :])).astype(
         dtype)
 
 
-def _my_tent(iyr_loc, C, sw):
+def _my_tent(iyr_loc, kloc):
     """Blended vertical pick mask (C*WR, SW) as a tent function over the
-    window-local row index (same channel-block stacking as _ypair_full)."""
-    rid = jax.lax.broadcasted_iota(jnp.int32, (C * WR, sw), 0)
-    kloc = (rid - (rid // WR) * WR).astype(jnp.float32)
+    window-local row index (same channel-block stacking as _ypair_full).
+    `kloc` is the hoisted f32 (C*WR, sw) window-local row-id grid."""
     return jnp.maximum(0.0, 1.0 - jnp.abs(kloc - iyr_loc[None, :]))
+
+
+def _kloc_grid(C, sw, dtype=jnp.float32):
+    """Window-local row index per stacked-block row: row c*WR+k -> k.
+    Loop-invariant; built once per kernel program."""
+    rid = jax.lax.broadcasted_iota(jnp.int32, (C * WR, sw), 0)
+    return (rid - (rid // WR) * WR).astype(dtype)
 
 
 def _ywin(iyr, H):
@@ -114,15 +119,14 @@ def _ywin(iyr, H):
     return yb, ly, wy
 
 
-def _ypair_full(lys, C, sw):
+def _ypair_full(lys, kloc):
     """Vertical one-hot pair (C*WR, SW): row c*WR+k of O0 is 1 where
     lys == k — the per-channel vertical pick masks stacked the same way
     the window rows are, so the masked window never needs a (C, WR, sw)
     reshape (whose sublane reduction Mosaic lays out replicated and then
     cannot store lane-sliced: "Invalid relayout ... replicated in
-    destination but not in source")."""
-    rid = jax.lax.broadcasted_iota(jnp.int32, (C * WR, sw), 0)
-    kloc = rid - (rid // WR) * WR
+    destination but not in source"). `kloc` is the hoisted int32
+    (C*WR, sw) window-local row-id grid."""
     O0 = jnp.where(kloc == lys[None, :], 1.0, 0.0)
     O1 = jnp.where(kloc == lys[None, :] + 1, 1.0, 0.0)
     return O0, O1
@@ -148,6 +152,12 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
     iy = iy_ref[0, 0, 0]
     n_strips = -(-W // LS)
     Pt, _ = _chan_matrices(C, jnp.float32)
+    # loop-invariant index grids, hoisted: bw = min(BW, W) is the same for
+    # every strip, so ONE iota+cast serves all (row, strip) iterations
+    bw_all = min(BW, W)
+    ids = jax.lax.broadcasted_iota(
+        jnp.int32, (bw_all, LS), 0).astype(jnp.float32)
+    kloc = _kloc_grid(C, LS)
     for i in range(RT):
         yb, _, _ = _ywin(iy[i], H)
         yloc = jnp.clip(iy[i] - yb.astype(jnp.float32), 0.0, WR - 1.0)
@@ -158,12 +168,12 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
             # weights in the source dtype: tent weights are exact at the
             # two support columns, and bf16 wx only re-rounds what a bf16
             # MXU pass rounds anyway
-            Cx = _cx_tent(ix[i, cols], bs, bw, sw, win.dtype)
+            Cx = _cx_tent(ix[i, cols], bs, bw, ids[:, :sw], win.dtype)
             Hrow = jax.lax.dot_general(
                 win[:, bs:bs + bw], Cx, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)                        # (C*WR, sw)
-            M = _my_tent(yloc[cols], C, sw)
+            M = _my_tent(yloc[cols], kloc[:, :sw])
             out_ref[0, 0, 0, :, i, cols] = jax.lax.dot_general(
                 Pt, Hrow * M, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -176,6 +186,10 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
     iy = iy_ref[0, 0, 0]
     n_strips = -(-W // LS)
     _, P = _chan_matrices(C, jnp.float32)
+    bw_all = min(BW, W)
+    ids_i = jax.lax.broadcasted_iota(jnp.int32, (bw_all, LS), 0)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (C * WR, LS), 0)
+    kloc_i = rid - (rid // WR) * WR
     for i in range(RT):
         yb, ly, wy = _ywin(iy[i], H)
         win = src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W)
@@ -192,7 +206,7 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
                 precision=prec)                         # (C*WR, sw)
             # two one-hot matmuls give BOTH Hrow and its x-derivative:
             # Hrow = A0 (1-wx) + A1 wx, dHrow/dix = A1 - A0
-            O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw, sw)
+            O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw, ids_i[:, :sw])
             band = win[:, bs:bs + bw]
             A0 = jax.lax.dot_general(
                 band, O0.astype(win.dtype), (((1,), (0,)), ((), ())),
@@ -202,7 +216,7 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
                 preferred_element_type=jnp.float32, precision=prec)
             Hrow = A0 + wx[None, :] * (A1 - A0)        # (C*WR, sw)
             Hder = A1 - A0
-            Y0, Y1 = _ypair_full(ly[cols], C, sw)
+            Y0, Y1 = _ypair_full(ly[cols], kloc_i[:, :sw])
             wys = wy[cols]
             M = Y0 + wys[None, :] * (Y1 - Y0)
             Md = Y1 - Y0

@@ -291,6 +291,104 @@ def main():
 
             timed("dec_gradf", dgf, vdf, feats_g, flops=150e9)
 
+    for pc in pieces:
+        # decstopK / decstopK (grad): folded decoder truncated after stage
+        # K (4..1); successive differences vs dec_gradf give the
+        # in-context marginal grad cost of each up-stage
+        if not pc.startswith("decstop"):
+            continue
+        k = int(pc[7:])
+        feats_t = [jnp.zeros((B, 96, 320, 64), dt),
+                   jnp.zeros((B, 48, 160, 64), dt),
+                   jnp.zeros((B, 24, 80, 128), dt),
+                   jnp.zeros((B, 12, 40, 256), dt),
+                   jnp.zeros((B, 6, 20, 512), dt)]
+        dec_t = DepthDecoder(dtype=dt, folded=True, probe_stop=k)
+        vdt = dec_t.init(rng, feats_t)
+
+        def dgt(c, v, fs, m=dec_t):
+            def l(p):
+                out = m.apply({"params": p["params"]},
+                              [t + c * 1e-30 for t in fs])
+                return sum(t.astype(jnp.float32).mean()
+                           for t in out.values())
+            gr = jax.grad(l)(v)
+            return sum(jnp.sum(t.astype(jnp.float32))
+                       for t in jax.tree.leaves(gr)) * 1e-20
+
+        timed(pc, dgt, vdt, feats_t)
+
+    if "convg4_16" in pieces or "convg4_16_grad" in pieces:
+        # batch-packed decoder stage-0 conv: 4 batch samples' 16 channels
+        # side by side in lanes, feature_group_count=4 — dense MACs (no
+        # band inflation), density depends on XLA's grouped lowering
+        wg4 = jnp.zeros((3, 3, 16, 64), dt)
+        xg4 = jnp.zeros((B // 4, 192, 640, 64), dt)
+
+        def fg4(c, w, x):
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(x.dtype) * 1e-30, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=4)
+            return y.astype(jnp.float32).mean()
+
+        if "convg4_16" in pieces:
+            timed("convg4_16", fg4, wg4, xg4,
+                  flops=2 * 9 * 16 * 16 * 192 * 640 * B)
+        if "convg4_16_grad" in pieces:
+            def fg4g(c, w, x):
+                gw = jax.grad(lambda ww: fg4(c, ww, x))(w)
+                return jnp.sum(gw.astype(jnp.float32)) * 1e-20
+
+            timed("convg4_16_grad", fg4g, wg4, xg4,
+                  flops=2 * 2 * 9 * 16 * 16 * 192 * 640 * B)
+
+    if "convg8_16" in pieces or "convg8_16_grad" in pieces:
+        # b24 variant: 8-sample pack fills all 128 lanes
+        wg8 = jnp.zeros((3, 3, 16, 128), dt)
+        xg8 = jnp.zeros((3, 192, 640, 128), dt)
+
+        def fg8(c, w, x):
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(x.dtype) * 1e-30, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=8)
+            return y.astype(jnp.float32).mean()
+
+        if "convg8_16" in pieces:
+            timed("convg8_16", fg8, wg8, xg8,
+                  flops=2 * 9 * 16 * 16 * 192 * 640 * 24)
+        if "convg8_16_grad" in pieces:
+            def fg8g(c, w, x):
+                gw = jax.grad(lambda ww: fg8(c, ww, x))(w)
+                return jnp.sum(gw.astype(jnp.float32)) * 1e-20
+
+            timed("convg8_16_grad", fg8g, wg8, xg8,
+                  flops=2 * 2 * 9 * 16 * 16 * 192 * 640 * 24)
+
+    if "convg2_64" in pieces or "convg2_64_grad" in pieces:
+        # layer1 case: 2-sample pack of C=64 at 48x160
+        wg2 = jnp.zeros((3, 3, 64, 128), dt)
+        xg2 = jnp.zeros((B // 2, 48, 160, 128), dt)
+
+        def fg2(c, w, x):
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(x.dtype) * 1e-30, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=2)
+            return y.astype(jnp.float32).mean()
+
+        if "convg2_64" in pieces:
+            timed("convg2_64", fg2, wg2, xg2,
+                  flops=2 * 9 * 64 * 64 * 48 * 160 * B)
+        if "convg2_64_grad" in pieces:
+            def fg2g(c, w, x):
+                gw = jax.grad(lambda ww: fg2(c, ww, x))(w)
+                return jnp.sum(gw.astype(jnp.float32)) * 1e-20
+
+            timed("convg2_64_grad", fg2g, wg2, xg2,
+                  flops=2 * 2 * 9 * 64 * 64 * 48 * 160 * B)
+
     if "conv256" in pieces:
         import flax.linen as nn
 
@@ -423,6 +521,19 @@ def main():
         timed("enc3_grad", lambda c, v, x: _enc_grad(enc, c, v, x), v3, x3,
               flops=3 * ENC_GF)
 
+    # the other three encoder variants the step runs (beam 2ch b, pose
+    # 6ch 2b, beam-pose 4ch 2b) — together with enc3_grad they decompose
+    # net_grad's encoder budget
+    for nm, ch, mult in (("enc2_grad", 2, 1), ("enc6_grad", 6, 2),
+                         ("enc4p_grad", 4, 2)):
+        if nm not in pieces:
+            continue
+        enc_v = ResnetEncoder(depth=18, in_channels=ch, dtype=dt)
+        xv = jnp.zeros((mult * B, 192, 640, ch), jnp.float32)
+        vv = enc_v.init(rng, xv, train=True)
+        timed(nm, lambda c, v, x, m=enc_v: _enc_grad(m, c, v, x), vv, xv,
+              flops=3 * ENC_GF * mult)
+
     for pc in pieces:
         # pfxK / pfxK_f: encoder truncated after stage K (1=conv1, 2=+bn/relu,
         # 3=+pool, 4..7=layer1..4), grad (or fwd) — in-context marginal cost
@@ -442,6 +553,16 @@ def main():
         else:
             timed(pc, lambda c, v, x, m=enc_k: _enc_grad(m, c, v, x),
                   v_k, x3)
+
+    if "enc3_p2" in pieces or "enc3_p2_grad" in pieces:
+        enc_p = ResnetEncoder(depth=18, in_channels=3, pack2=True, dtype=dt)
+        if "enc3_p2" in pieces:
+            timed("enc3_p2", lambda c, v, x: _enc_fwd(enc_p, c, v, x, True),
+                  v3, x3, flops=ENC_GF)
+        if "enc3_p2_grad" in pieces:
+            timed("enc3_p2_grad",
+                  lambda c, v, x: _enc_grad(enc_p, c, v, x), v3, x3,
+                  flops=3 * ENC_GF)
 
     if "enc3_s2d" in pieces or "enc3_s2d_grad" in pieces:
         enc_s = ResnetEncoder(depth=18, in_channels=3, s2d_stem=True,

@@ -52,16 +52,38 @@ def test_fold_factor():
     assert fold_factor(16, 6) == 2
 
 
+@pytest.mark.parametrize("halo", [False, True])
 @pytest.mark.parametrize("C,F,W", [(16, 8, 32), (32, 4, 16), (64, 2, 16)])
-def test_conv3x3_folded_matches_plain(C, F, W):
+def test_conv3x3_folded_matches_plain(C, F, W, halo):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(2, 8, W, C)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.1)
     b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
     ref = _conv_ref(x, w, b)
-    got = unfold(conv3x3_folded([fold(x, F)], [w], bias=b, F=F), C)
+    got = unfold(conv3x3_folded([fold(x, F)], [w], bias=b, F=F, halo=halo),
+                 C)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("C,F,W", [(16, 8, 32), (64, 2, 16)])
+def test_conv3x3_halo_grads_match_band(C, F, W):
+    """The halo and band formulations are the same multiply-add set:
+    gradients wrt input and kernel agree to reassociation tolerance."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 8, W, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.1)
+
+    def loss(x_, w_, halo):
+        y = conv3x3_folded([fold(x_, F)], [w_], F=F, halo=halo)
+        return jnp.sum(y * y)
+
+    gx_b, gw_b = jax.grad(loss, argnums=(0, 1))(x, w, False)
+    gx_h, gw_h = jax.grad(loss, argnums=(0, 1))(x, w, True)
+    np.testing.assert_allclose(np.asarray(gx_h), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_h), np.asarray(gw_b),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_conv3x3_folded_multi_input_matches_concat():
