@@ -395,7 +395,7 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 TRAIN_LADDER = [
     ("r3_banded_strip", dict()),
     ("r3_reproj", dict(pallas_reproj=True)),
-    ("r3_band_decoder", dict(_halo="0")),  # halo-conv fallback (ops/folded)
+    ("r3_halo_decoder", dict(_halo="1")),  # halo folded conv (ops/folded)
     ("r2_no_pallas_pool", dict(_pool="0")),
 ]
 

@@ -150,9 +150,12 @@ def halo_pad_folded(xf, F: int, C: int):
     return jnp.concatenate([lh, xf, rh], axis=-1)
 
 
-# A/B gate for the halo formulation (measured faster; the band form stays
-# as the fallback and the oracle for tests/test_folded.py)
-_HALO = __import__("os").environ.get("FUSIONDEPTH_FOLD_HALO", "1") != "0"
+# A/B gate for the halo formulation. Default OFF: despite the (F+2)/3-vs-F
+# MAC reduction it measured NEUTRAL forward (5.71 vs 6.00 ms decoder fwd,
+# v5e b12) and SLOWER backward (14.28 vs 13.11 ms) — the (3,1,160,128)
+# wgrad and the halo-concat transpose lower worse than the band conv's
+# inflated-but-aligned form. Kept as a probe-able lever.
+_HALO = __import__("os").environ.get("FUSIONDEPTH_FOLD_HALO", "0") == "1"
 
 
 def conv3x3_folded(inputs, kernels, bias=None, *, F: int, pad: bool = True,

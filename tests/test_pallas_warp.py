@@ -142,3 +142,39 @@ def test_gather_backend_multi_strip_interpret():
     _, vg = jax.vjp(lambda c: _warp_gather(c, src, True, prec), coords)
     np.testing.assert_allclose(np.asarray(vg(g)[0]), np.asarray(vb(g)[0]),
                                atol=1e-5)
+
+
+def test_subband_skipping_matches_grid_sample_wide():
+    """The banded kernel skips LS-wide sub-bands of the 384-column band
+    via @pl.when range proofs; at W=384 (3 strips x 3 sub-bands) with
+    horizontal displacements up to ~120 px (inside the documented
+    |d| <= 128 band) the result must still equal the XLA gather oracle,
+    including tents straddling sub-band boundaries."""
+    rng = np.random.default_rng(11)
+    Hh, Ww = 32, 384
+    src = jnp.asarray(rng.uniform(size=(1, Hh, Ww, C)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(Hh), np.arange(Ww), indexing="ij")
+    dx = 120.0 * np.sin(ys / 7.0) + 0.41
+    dy = 2.0 * np.cos(xs / 13.0) + 0.2
+    ix = np.clip(xs + dx, 0.3, Ww - 1.3)
+    iy = np.clip(ys + dy, 0.3, Hh - 1.3)
+    gx = (2 * ix + 1) / Ww - 1
+    gy = (2 * iy + 1) / Hh - 1
+    g = jnp.asarray(np.stack([gx, gy], -1)[None].astype(np.float32))
+
+    (o,) = warp_bilinear_banded([src], [(0, g)], interpret=True)
+    ref = grid_sample(src, g)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+
+    w = jnp.asarray(rng.normal(size=(1, Hh, Ww, C)).astype(np.float32))
+
+    def lp(gg):
+        (oo,) = warp_bilinear_banded([src], [(0, gg)], interpret=True)
+        return (oo * w).sum()
+
+    def lx(gg):
+        return (grid_sample(src, gg) * w).sum()
+
+    np.testing.assert_allclose(np.asarray(jax.grad(lp)(g)),
+                               np.asarray(jax.grad(lx)(g)),
+                               rtol=1e-3, atol=1e-3)
