@@ -387,15 +387,18 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 # round its benchmark number. `pool` toggles the Pallas stem-maxpool via
 # its env gate (ops/pooling.py). Round-3 sweep results (v5e, 2026-08-18,
 # /tmp/tpu_drive + PERF.md): the strip-banded warp cut the step 95.4 ->
-# 82.5 ms; pallas_reproj is throughput-neutral in the full step (XLA
-# overlaps the stacked SSIM+L1 anyway) but carries less HBM; the gather
-# warp backend (136 ms) and paired encoders (106 ms) measured SLOWER and
-# were dropped from the ladder. Defaults-first; the last rung is the
-# no-Pallas-pool fallback.
+# 82.5 ms; the fold64 encoder cut it to 78.3 (b12) and batch 24 lifts
+# samples/s another 8% (165.9, bytes/sample -22%); pallas_reproj is
+# throughput-neutral in the full step (XLA overlaps the stacked SSIM+L1
+# anyway) but carries less HBM; the gather warp backend (136 ms), paired
+# encoders (106 ms) and the halo decoder conv measured SLOWER and were
+# dropped from the ladder. Best-expected-first; the last rungs are
+# fallbacks in case a kernel fails to compile.
 TRAIN_LADDER = [
-    ("r3_banded_strip", dict()),
+    ("r3_fold64_b24", dict(batch_size=24)),  # defaults now incl. fold64
+    ("r3_fold64", dict()),
+    ("r3_no_fold64", dict(fold64_encoder=False)),  # pre-fold fallback
     ("r3_reproj", dict(pallas_reproj=True)),
-    ("r3_halo_decoder", dict(_halo="1")),  # halo folded conv (ops/folded)
     ("r2_no_pallas_pool", dict(_pool="0")),
 ]
 
@@ -428,7 +431,7 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
             continue
         flags = dict(flags)
         os.environ["FUSIONDEPTH_PALLAS_POOL"] = flags.pop("_pool", "1")
-        os.environ["FUSIONDEPTH_FOLD_HALO"] = flags.pop("_halo", "1")
+        os.environ["FUSIONDEPTH_FOLD_HALO"] = flags.pop("_halo", "0")
         try:
             r = bench_train(dict(base, **flags), metric, batch=12)[-1]
         except Exception as e:  # noqa: BLE001 - rung must not kill the run

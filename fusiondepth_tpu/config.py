@@ -197,6 +197,15 @@ class Config:
     # full encoder (enc3_grad 6.95 -> 8.60 ms measured) — kept as a
     # probe-able lever for wider-batch / deeper-pack studies.
     pack2_encoder: bool = False
+    # W-fold every encoder's C=64 region (bn1/relu/pool/layer1, plus the
+    # layer2 downsample entry via bridge convs) at F=2: dense 128-lane
+    # tiles with ZERO transposes (the fold is a free reshape, unlike
+    # pack2's batch<->lane regroups — models/resnet.py fold64). Exact math
+    # reassociation; BN stats tied across fold slots equal the unfolded
+    # stats exactly (tests/test_folded_encoder.py). Measured v5e b12:
+    # enc3_grad 7.01 -> 5.99 ms, full step 82.5 -> 78.3 ms. Basic-block
+    # depths (18/34) only; ignored for bottlenecks.
+    fold64_encoder: bool = True
     # Multi-host bring-up (SURVEY §5: jax.distributed.initialize + per-host
     # input sharding; parallel/multihost.py). batch_size stays GLOBAL — each
     # host loads batch_size / num_processes samples of ITS split slice.

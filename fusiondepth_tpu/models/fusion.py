@@ -56,19 +56,21 @@ class FusionNets:
             enc_in = 5
         s2d = cfg.s2d_stem
         p2 = cfg.pack2_encoder
+        f64 = cfg.fold64_encoder
         self.encoder = ResnetEncoder(depth=cfg.num_layers, in_channels=enc_in,
-                                     s2d_stem=s2d, pack2=p2, dtype=dt)
+                                     s2d_stem=s2d, pack2=p2, fold64=f64,
+                                     dtype=dt)
 
         self.beam_encoder = None
         self.beam_encoder_pose = None
         if cfg.beam_encoder:
             self.beam_encoder = ResnetEncoder(
                 depth=cfg.num_layers, in_channels=2, s2d_stem=s2d,
-                pack2=p2, dtype=dt)
+                pack2=p2, fold64=f64, dtype=dt)
             self.beam_encoder_pose = ResnetEncoder(
                 depth=self.pose_depth,
                 in_channels=2 * cfg.num_pose_frames, s2d_stem=s2d,
-                pack2=p2, dtype=dt)
+                pack2=p2, fold64=f64, dtype=dt)
 
         self.depth = DepthDecoder(scales=tuple(cfg.scales),
                                   cat2end=cfg.cat2end,
@@ -91,7 +93,7 @@ class FusionNets:
                 self.pose_encoder = ResnetEncoder(
                     depth=self.pose_depth,
                     in_channels=3 * cfg.num_pose_frames, s2d_stem=s2d,
-                    pack2=p2, dtype=dt)
+                    pack2=p2, fold64=f64, dtype=dt)
                 self.pose = PoseDecoder(num_input_features=1,
                                         num_frames_to_predict_for=2, dtype=dt)
             elif cfg.pose_model_type == "shared":

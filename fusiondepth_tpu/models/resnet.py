@@ -111,6 +111,82 @@ def unpack2(x):
             .reshape(2 * Bh, H, W, C)
 
 
+class _FoldConv3x3(nn.Module):
+    """3x3 stride-1 ZERO-pad conv on a W-folded (B, H, Wf, F*Cin) input
+    with nn.Conv's exact param name/shape/init — the (3, 3, Cin, Cout)
+    kernel is expanded to the folded band form inside the trace
+    (ops/folded.fold_kernel3x3, weights are tiny), so checkpoints and
+    torch import are unchanged. Zero padding needs only one folded column
+    per side: the band kernel reads dx in [-1, 1], so only the nearest
+    original column of the pad is touched (with zero weight beyond)."""
+
+    features: int
+    in_features: int
+    F: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        from fusiondepth_tpu.ops.folded import fold_kernel3x3
+
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_features, self.features), jnp.float32)
+        kf = fold_kernel3x3(k, self.F).astype(self.dtype)
+        # padding lives INSIDE the conv: an explicit jnp.pad materializes
+        # (and layout-copies) the whole padded tensor in HLO
+        return jax.lax.conv_general_dilated(
+            xf, kf, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _FoldBridgeConv3x3(nn.Module):
+    """3x3 stride-(2,2) conv CONSUMING a W-folded (F=2) input — the
+    layer2 downsample entry. Original out col b taps orig cols
+    2b-1, 2b, 2b+1 = folded col b-1 (slot 1) and folded col b (slots
+    0, 1), so the folded kernel is (3, 2, 2*Cin, Cout) applied at
+    stride (2, 1) with one zero folded column of left pad (zero-pad
+    semantics preserved: orig col -1 is the zero pad). Output is the
+    ordinary dense (B, H/2, W_orig/2, Cout) tensor — the fold ends here.
+    Param name/shape/init match nn.Conv exactly."""
+
+    features: int
+    in_features: int  # ORIGINAL (unfolded) input channels
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_features, self.features), jnp.float32)
+        z = jnp.zeros_like(w[:, 0])                       # (3, Cin, Cout)
+        tap0 = jnp.concatenate([z, w[:, 0]], axis=1)      # col b-1: slot 1
+        tap1 = jnp.concatenate([w[:, 1], w[:, 2]], axis=1)  # col b: s0, s1
+        kf = jnp.stack([tap0, tap1], axis=1).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            xf, kf, (2, 1), ((1, 1), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _FoldBridge1x1(nn.Module):
+    """1x1 stride-(2,2) conv consuming a W-folded (F=2) input — the
+    layer2 downsample shortcut. Orig out col b = orig col 2b = folded
+    col b slot 0: a (1, 1, 2*Cin, Cout) kernel with zeros on slot 1,
+    stride (2, 1). Param name/shape/init match nn.Conv exactly."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_features, self.features), jnp.float32)
+        kf = jnp.concatenate([w, jnp.zeros_like(w)], axis=2).astype(
+            self.dtype)
+        return jax.lax.conv_general_dilated(
+            xf, kf, (2, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class _PairConv3x3(nn.Module):
     """3x3 stride-1 conv applied per pack slot (feature_group_count=2) with
     nn.Conv's exact param name/shape/init — the same (3,3,Cin,Cout) kernel
@@ -135,10 +211,49 @@ class _BasicBlock(nn.Module):
     features: int
     stride: int = 1
     packed: bool = False  # input is pack2-packed (2 samples in lanes)
+    folded: bool = False  # input is W-folded at F=2 (ops/folded.fold)
+    fold_in: bool = False  # stride-2 entry CONSUMING a folded input
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.fold_in:
+            # layer2's downsample entry fed the still-folded layer1 output:
+            # the bridge convs read whole folded columns (no stride-2 W
+            # slicing of a half-lane tensor) and emit the ordinary dense
+            # layout. Math identical to the generic path.
+            assert self.stride == 2
+            cin = x.shape[-1] // 2
+            norm = lambda name: BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=name)
+            y = _FoldBridgeConv3x3(self.features, cin,
+                                   dtype=self.dtype, name="conv1")(x)
+            y = nn.relu(norm("bn1")(y))
+            y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name="conv2")(y)
+            y = norm("bn2")(y)
+            identity = _FoldBridge1x1(self.features, cin, dtype=self.dtype,
+                                      name="downsample_conv")(x)
+            identity = norm("downsample_bn")(identity)
+            return nn.relu(y + identity)
+        if self.folded:
+            # W-folded basic block: convs run on dense 128-lane tiles via
+            # the band kernel; BN stats tied across the two fold slots
+            # equal the unfolded per-channel stats exactly (the slots ARE
+            # the even/odd W positions of the same channel). Everything
+            # else (relu, residual) is elementwise and layout-agnostic.
+            assert self.stride == 1 and x.shape[-1] == 2 * self.features
+            norm = lambda name: BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                pack=2, dtype=self.dtype, name=name)
+            y = _FoldConv3x3(self.features, self.features,
+                             dtype=self.dtype, name="conv1")(x)
+            y = nn.relu(norm("bn1")(y))
+            y = _FoldConv3x3(self.features, self.features,
+                             dtype=self.dtype, name="conv2")(y)
+            y = norm("bn2")(y)
+            return nn.relu(y + x)
         if self.packed:
             assert self.stride == 1 and x.shape[-1] == 2 * self.features
             norm = lambda name: BatchNorm(
@@ -222,6 +337,13 @@ class ResnetEncoder(nn.Module):
     # dense 128-lane tiles, exact same math (see pack2's docstring).
     # Applies when the batch is even and the depth uses _BasicBlock.
     pack2: bool = False
+    # W-fold the C=64 region (bn1/relu/pool/layer1) at F=2: view
+    # (B, H, W, 64) as (B, H, W/2, 128) — dense 128-lane tiles with ZERO
+    # transposes (the fold is a free reshape in (W, C)-contiguous order,
+    # unlike pack2's batch<->lane regroups). Convs use the band kernel
+    # (ops/folded.fold_kernel3x3, 2x the MACs — trivial at these sizes);
+    # BN stats tied across fold slots equal the unfolded stats exactly.
+    fold64: bool = False
     truncate_at: Optional[int] = None  # perf-probe: stop after N stages
     dtype: Any = jnp.float32
 
@@ -248,7 +370,42 @@ class ResnetEncoder(nn.Module):
             return [y]
 
         use_pack = (self.pack2 and not bottleneck and y.shape[0] % 2 == 0)
-        if use_pack:
+        use_fold = (self.fold64 and not use_pack and not bottleneck
+                    and y.shape[2] % 2 == 0)
+        if use_fold:
+            from fusiondepth_tpu.ops.folded import fold, unfold
+
+            yf = fold(y, 2)
+            yf = BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, pack=2, dtype=self.dtype,
+                           name="bn1")(yf)
+            yf = nn.relu(yf)
+            features.append(unfold(yf, 64))
+            if stop == 2:
+                return features
+            # the pool's never-stride-W formulation is already fold-shaped
+            # internally; unfold/fold around it are free reshapes
+            p = max_pool_3x3s2(unfold(yf, 64))
+            if stop == 3:
+                return features + [p]
+            pf = fold(p, 2)
+            for block_i in range(stages[0]):
+                pf = _BasicBlock(64, 1, folded=True, dtype=self.dtype,
+                                 name=f"layer1_{block_i}")(pf, train)
+            features.append(unfold(pf, 64))
+            if stop == 4:
+                return features
+            # layer2's stride-2 entry consumes the STILL-FOLDED layer1
+            # output via bridge convs (no stride-2 W slicing at C=64)
+            y = _BasicBlock(128, 2, fold_in=True, dtype=self.dtype,
+                            name="layer2_0")(pf, train)
+            for block_i in range(1, stages[1]):
+                y = _BasicBlock(128, 1, dtype=self.dtype,
+                                name=f"layer2_{block_i}")(y, train)
+            features.append(y)
+            if stop == 5:
+                return features
+        elif use_pack:
             yp = pack2(y)
             yp = BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, pack=2, dtype=self.dtype,
@@ -281,8 +438,8 @@ class ResnetEncoder(nn.Module):
 
         widths = (64, 128, 256, 512)
         for stage_i, (w, n_blocks) in enumerate(zip(widths, stages)):
-            if use_pack and stage_i == 0:
-                continue  # layer1 ran packed above
+            if (use_pack and stage_i == 0) or (use_fold and stage_i <= 1):
+                continue  # layer1 (and folded layer2) ran above
             for block_i in range(n_blocks):
                 stride = 2 if (stage_i > 0 and block_i == 0) else 1
                 y = block(w, stride, dtype=self.dtype,

@@ -154,8 +154,67 @@ def halo_pad_folded(xf, F: int, C: int):
 # MAC reduction it measured NEUTRAL forward (5.71 vs 6.00 ms decoder fwd,
 # v5e b12) and SLOWER backward (14.28 vs 13.11 ms) — the (3,1,160,128)
 # wgrad and the halo-concat transpose lower worse than the band conv's
-# inflated-but-aligned form. Kept as a probe-able lever.
-_HALO = __import__("os").environ.get("FUSIONDEPTH_FOLD_HALO", "0") == "1"
+# inflated-but-aligned form. Kept as a probe-able lever. Read at TRACE
+# time (not import) so bench.py's ladder rungs can toggle it per rung.
+def _halo_enabled() -> bool:
+    import os
+    return os.environ.get("FUSIONDEPTH_FOLD_HALO", "0") == "1"
+
+
+# Reflect padding as zero-pad conv + border-correction convs (see
+# conv3x3_folded_fastpad) instead of materializing the padded tensor.
+# Read at trace time for bench-ladder A/B.
+def _fastpad_enabled() -> bool:
+    import os
+    return os.environ.get("FUSIONDEPTH_FOLD_FASTPAD", "1") == "1"
+
+
+def _reflect_border_cols(xf, F: int, C: int):
+    """The two pad folded columns reflect_pad_folded would prepend/append:
+    (B, H, 1, F*C) each, built from the F reflected border columns."""
+    if F == 1:
+        return xf[:, :, 1:2], xf[:, :, -2:-1]
+    B, H, Wf, FC = xf.shape
+    u = xf.reshape(B, H, Wf * F, C)
+    left = u[:, :, F:0:-1].reshape(B, H, 1, FC)
+    right = u[:, :, -2:-(F + 2):-1].reshape(B, H, 1, FC)
+    return left, right
+
+
+def conv3x3_folded_fastpad(xfi, wf, F: int, C: int):
+    """Reflect-padded folded band conv WITHOUT materializing the padded
+    tensor: conv is linear, so y = conv(x, zero-pad) plus border
+    corrections — the missing reflect taps are four tiny convs over one
+    row / one folded column each, added at static offsets. Exact same
+    multiply-add set as pad-then-VALID (tests/test_folded.py).
+
+    Corner accounting: the row fixes (ky = 0 / 2 kernel slices) use
+    W-REFLECT-padded border rows, so they cover the corner taps; the
+    column fixes (dxf = -1 / +1 kernel slices) then use ZERO H padding so
+    rows -1/H are not double-counted.
+    """
+    dn = ("NHWC", "HWIO", "NHWC")
+    z = jax.lax.conv_general_dilated(xfi, wf, (1, 1), ((1, 1), (1, 1)),
+                                     dimension_numbers=dn)
+
+    def _rowfix(row, ky):
+        lp, rp = _reflect_border_cols(row, F, C)
+        rowp = jnp.concatenate([lp, row, rp], axis=2)
+        return jax.lax.conv_general_dilated(
+            rowp, wf[ky:ky + 1], (1, 1), "VALID", dimension_numbers=dn)
+
+    top = _rowfix(xfi[:, 1:2], 0)
+    bot = _rowfix(xfi[:, -2:-1], 2)
+    lp, rp = _reflect_border_cols(xfi, F, C)
+    left = jax.lax.conv_general_dilated(
+        lp, wf[:, 0:1], (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn)
+    right = jax.lax.conv_general_dilated(
+        rp, wf[:, 2:3], (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn)
+    z = z.at[:, 0:1].add(top)
+    z = z.at[:, -1:].add(bot)
+    z = z.at[:, :, 0:1].add(left)
+    z = z.at[:, :, -1:].add(right)
+    return z
 
 
 def conv3x3_folded(inputs, kernels, bias=None, *, F: int, pad: bool = True,
@@ -176,20 +235,26 @@ def conv3x3_folded(inputs, kernels, bias=None, *, F: int, pad: bool = True,
     halo input. Identical multiply-add set either way.
     """
     if halo is None:
-        halo = _HALO and F >= 2 and pad
+        halo = _halo_enabled() and F >= 2 and pad
     out = None
     for xfi, w in zip(inputs, kernels):
         Ci = w.shape[2]
         if halo:
             wf = halo_kernel3x3(w, F)
             xp = halo_pad_folded(xfi, F, Ci)
+            y = jax.lax.conv_general_dilated(
+                xp, wf.astype(xp.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        elif pad and _fastpad_enabled():
+            wf = fold_kernel3x3(w, F).astype(xfi.dtype)
+            y = conv3x3_folded_fastpad(xfi, wf, F, Ci)
         else:
             wf = fold_kernel3x3(w, F)
             xp = reflect_pad_folded(xfi, F, Ci) if pad else xfi
-        y = jax.lax.conv_general_dilated(
-            xp, wf.astype(xp.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+            y = jax.lax.conv_general_dilated(
+                xp, wf.astype(xp.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.astype(jnp.float32)
         out = y if out is None else out + y
     if bias is not None:
         Cout = bias.shape[0]

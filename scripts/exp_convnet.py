@@ -541,9 +541,11 @@ def main():
         if not pc.startswith("pfx"):
             continue
         fwd_only = pc.endswith("_f")
-        k = int(pc[3:-2] if fwd_only else pc[3:])
+        body = pc[3:-2] if fwd_only else pc[3:]
+        folded = body.endswith("d64")  # pfxKd64 = fold64 variant
+        k = int(body[:-3] if folded else body)
         enc_k = ResnetEncoder(depth=18, in_channels=3, truncate_at=k,
-                              dtype=dt)
+                              fold64=folded, dtype=dt)
         v_k = dict(enc_k.init(rng, jnp.zeros((B, 192, 640, 3), jnp.float32),
                               train=True))
         v_k.setdefault("batch_stats", {})
@@ -562,6 +564,16 @@ def main():
         if "enc3_p2_grad" in pieces:
             timed("enc3_p2_grad",
                   lambda c, v, x: _enc_grad(enc_p, c, v, x), v3, x3,
+                  flops=3 * ENC_GF)
+
+    if "enc3_f64" in pieces or "enc3_f64_grad" in pieces:
+        enc_f = ResnetEncoder(depth=18, in_channels=3, fold64=True, dtype=dt)
+        if "enc3_f64" in pieces:
+            timed("enc3_f64", lambda c, v, x: _enc_fwd(enc_f, c, v, x, True),
+                  v3, x3, flops=ENC_GF)
+        if "enc3_f64_grad" in pieces:
+            timed("enc3_f64_grad",
+                  lambda c, v, x: _enc_grad(enc_f, c, v, x), v3, x3,
                   flops=3 * ENC_GF)
 
     if "enc3_s2d" in pieces or "enc3_s2d_grad" in pieces:

@@ -37,6 +37,8 @@ def main():
     p.add_argument("--full", default=None, help="also write full HLO here")
     p.add_argument("--what", default="net_grad",
                    choices=["net_grad", "step", "dec", "dec_grad"])
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="Config field overrides (same syntax as bench.py)")
     args = p.parse_args()
 
     from fusiondepth_tpu.config import Config
@@ -50,9 +52,19 @@ def main():
     )
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    cfg = Config(num_layers=18, height=192, width=640, batch_size=12,
-                 compute_dtype="bfloat16" if on_tpu else "float32",
-                 pallas_warp=on_tpu)
+    overrides = {}
+    for item in args.set:
+        key, _, raw = item.partition("=")
+        try:
+            import json
+
+            overrides[key] = json.loads(raw)
+        except ValueError:
+            overrides[key] = raw
+    cfg = Config(**{**dict(
+        num_layers=18, height=192, width=640, batch_size=12,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        pallas_warp=on_tpu), **overrides})
     nets = FusionNets(cfg)
     tx = make_optimizer(cfg, 1000)
     state = create_train_state(cfg, nets, jax.random.PRNGKey(0), tx)
