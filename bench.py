@@ -395,17 +395,29 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 # dropped from the ladder. Best-expected-first; the last rungs are
 # fallbacks in case a kernel fails to compile.
 TRAIN_LADDER = [
-    ("r3_fold64_b24", dict(batch_size=24)),  # defaults now incl. fold64
-    ("r3_fold64", dict()),
-    ("r3_no_fold64", dict(fold64_encoder=False)),  # pre-fold fallback
-    ("r3_reproj", dict(pallas_reproj=True)),
-    ("r2_no_pallas_pool", dict(_pool="0")),
+    ("r4_default_b24", dict(batch_size=24)),  # defaults, headline batch
+    ("r4_default_b12", dict()),               # defaults, trend batch
+    ("r4_no_fold64_b12", dict(fold64_encoder=False)),  # pre-fold fallback
+    ("r4_reproj_b12", dict(pallas_reproj=True)),
+    ("r2_no_pallas_pool_b12", dict(_pool="0")),
 ]
 
-# stop starting new rungs past this (keep best so far) — ordered so the
-# optimistic and the proven configs are both measured inside a tight budget
+# The first LADDER_MIN_RUNGS rungs are ALWAYS attempted (the recorded
+# artifact must carry the default config at b24 AND b12 plus one fallback —
+# VERDICT r3 weak #2); the budget only gates the optional tail rungs.
+LADDER_MIN_RUNGS = 3
 LADDER_BUDGET_S = float(__import__("os").environ.get(
-    "BENCH_LADDER_BUDGET", 420))
+    "BENCH_LADDER_BUDGET", 1500))
+
+# Best recorded median step_ms per rung (PERF.md / BENCH_r03): the
+# regression gate — a rung that measures >10% slower than its recorded best
+# is flagged loudly in the JSON and on stderr so round-over-round perf can't
+# silently slip while kernels churn (VERDICT r3 item 8).
+BEST_KNOWN_STEP_MS = {
+    "r4_default_b24": 141.26,   # BENCH_r03 r3_fold64_b24
+    "r4_default_b12": 78.3,     # PERF.md fold64 full step b12
+}
+REGRESSION_TOL = 1.10
 
 
 def bench_train_ladder(base, explicit: bool, on_tpu: bool):
@@ -423,9 +435,11 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
 
     ladder = {}
     best = None
+    regressions = {}
     t0 = time.perf_counter()
-    for name, flags in TRAIN_LADDER:
-        if best is not None and time.perf_counter() - t0 > LADDER_BUDGET_S:
+    for i, (name, flags) in enumerate(TRAIN_LADDER):
+        over_budget = time.perf_counter() - t0 > LADDER_BUDGET_S
+        if best is not None and i >= LADDER_MIN_RUNGS and over_budget:
             print(f"ladder budget hit; skipping {name}", file=sys.stderr)
             ladder[name] = {"skipped": "budget"}
             continue
@@ -444,6 +458,13 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
             os.environ.pop("FUSIONDEPTH_FOLD_HALO", None)
         ladder[name] = {"value": r["value"], "step_ms": r["step_ms"]}
         print(f"ladder rung {name}: {r['value']} samples/s", file=sys.stderr)
+        known = BEST_KNOWN_STEP_MS.get(name)
+        if known and r["step_ms"]["median"] > known * REGRESSION_TOL:
+            regressions[name] = {
+                "step_ms": r["step_ms"]["median"], "best_known_ms": known}
+            print(f"REGRESSION: rung {name} step {r['step_ms']['median']} ms "
+                  f"> {REGRESSION_TOL}x best-known {known} ms",
+                  file=sys.stderr)
         if best is None or r["value"] > best[1]["value"]:
             best = (name, r)
     if best is None:
@@ -451,6 +472,8 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
     result = best[1]
     result["config_flags"] = best[0]
     result["ladder"] = ladder
+    if regressions:
+        result["regressions"] = regressions
     return result
 
 
@@ -468,7 +491,25 @@ def _parse_set(items):
     return out
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: ladder rungs recompile the same
+    programs run to run, and every fresh compile costs minutes on this
+    1-core host — cached rungs make the full 5-rung ladder fit the driver's
+    budget. Best-effort (older jax / exotic backends may lack it)."""
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - version-dependent
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+
+
 def main():
+    _enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=3,
                    choices=[1, 2, 3, 4, 5, 6])

@@ -56,11 +56,14 @@ def warp_planes(sources, grids, *, use_pallas: bool = False,
     the kernel in shard_map over the batch axis. Falls back to the XLA
     gather path when the kernel's windowing preconditions don't hold.
     """
+    from fusiondepth_tpu.utils import selection
+
     n, B, C, H, W = sources.shape
     assert grids.shape[0] == n and grids.shape[2] == B, (sources.shape,
                                                          grids.shape)
     if use_pallas and pallas_ok(H, W) and (mesh is None
                                            or _data_only_mesh(mesh)):
+        selection.record(warp=f"pallas_{backend}", warp_meshed=mesh is not None)
         if backend == "gather":
             from fusiondepth_tpu.ops.pallas_warp_gather import (
                 _warp_gather as _warp,
@@ -87,6 +90,7 @@ def warp_planes(sources, grids, *, use_pallas: bool = False,
             out = warped_fn(coords, sources)
         return out.astype(sources.dtype)
 
+    selection.record(warp="xla_gather_planes", warp_meshed=mesh is not None)
     return warp_planes_xla(sources, grids)
 
 

@@ -186,8 +186,12 @@ def _compute_losses_planes(cfg: Config, batch, outputs, rng,
         reproj_maps_pallas,
     )
 
+    from fusiondepth_tpu.utils import selection
+
     fuse_reproj = (cfg.pallas_reproj and use_ssim and pallas_reproj_ok(H)
                    and jax.default_backend() != "cpu")
+    selection.record(formulation="planes",
+                     reproj="pallas_fused" if fuse_reproj else "xla_stacked")
     if fuse_reproj:
         # fused SSIM+L1 kernel: the box-filtered moment fields never
         # touch HBM (ops/pallas_reproj.py); numerics match the XLA path
@@ -443,5 +447,8 @@ def compute_losses(cfg: Config, batch, outputs: Dict[Any, Any],
     Reference: trainer.py:490-596.
     """
     if cfg.v1_multiscale:
+        from fusiondepth_tpu.utils import selection
+
+        selection.record(formulation="reference", reproj="per_scale_nhwc")
         return compute_losses_reference(cfg, batch, outputs, rng)
     return _compute_losses_planes(cfg, batch, outputs, rng, mesh=mesh)

@@ -69,7 +69,14 @@ EOF
     [ "${1:-all}" = anatomy ] && exit 0 ;;&
   final)
     # e.g. WINNER="--set pallas_reproj=true" scripts/tpu_drive.sh final
-    run final 1200 python bench.py ${WINNER:-}
+    BENCH_LADDER_BUDGET="${BENCH_LADDER_BUDGET:-3000}" \
+      run final 3600 python bench.py ${WINNER:-}
+    # regression gate (bench.py BEST_KNOWN_STEP_MS): fail loudly if a rung
+    # measured >10% over its recorded best
+    if grep -q '"regressions"' "$OUT/final.out"; then
+      echo "PERF REGRESSION DETECTED — see $OUT/final.out" | tee -a "$LOG"
+      exit 1
+    fi
     ;;
 esac
 echo "drive done; results in $OUT" | tee -a "$LOG"
