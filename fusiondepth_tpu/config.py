@@ -206,6 +206,12 @@ class Config:
     # enc3_grad 7.01 -> 5.99 ms, full step 82.5 -> 78.3 ms. Basic-block
     # depths (18/34) only; ignored for bottlenecks.
     fold64_encoder: bool = True
+    # Emit each encoder's stem-conv output DIRECTLY in the F=2 folded
+    # layout (models/resnet._FoldStemConv: (7,9,C,128) stride-(2,4) band
+    # kernel, exact 7x7/2 rewrite) instead of reshaping after — removes
+    # the conv-output {3,0,2,1} layout boundary under the fold reshape
+    # (PERF.md HLO byte anatomy). Only active with fold64_encoder.
+    fold_stem: bool = False
     # Multi-host bring-up (SURVEY §5: jax.distributed.initialize + per-host
     # input sharding; parallel/multihost.py). batch_size stays GLOBAL — each
     # host loads batch_size / num_processes samples of ITS split slice.

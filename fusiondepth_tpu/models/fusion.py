@@ -29,7 +29,9 @@ from fusiondepth_tpu.ops.pose import transformation_from_parameters
 
 
 def _dtype(cfg: Config):
-    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # float64 exists for the torch-oracle parity suite (scoped jax.enable_x64)
+    return {"bfloat16": jnp.bfloat16,
+            "float64": jnp.float64}.get(cfg.compute_dtype, jnp.float32)
 
 
 class FusionNets:
@@ -57,20 +59,21 @@ class FusionNets:
         s2d = cfg.s2d_stem
         p2 = cfg.pack2_encoder
         f64 = cfg.fold64_encoder
+        fst = cfg.fold_stem
         self.encoder = ResnetEncoder(depth=cfg.num_layers, in_channels=enc_in,
                                      s2d_stem=s2d, pack2=p2, fold64=f64,
-                                     dtype=dt)
+                                     fold_stem=fst, dtype=dt)
 
         self.beam_encoder = None
         self.beam_encoder_pose = None
         if cfg.beam_encoder:
             self.beam_encoder = ResnetEncoder(
                 depth=cfg.num_layers, in_channels=2, s2d_stem=s2d,
-                pack2=p2, fold64=f64, dtype=dt)
+                pack2=p2, fold64=f64, fold_stem=fst, dtype=dt)
             self.beam_encoder_pose = ResnetEncoder(
                 depth=self.pose_depth,
                 in_channels=2 * cfg.num_pose_frames, s2d_stem=s2d,
-                pack2=p2, fold64=f64, dtype=dt)
+                pack2=p2, fold64=f64, fold_stem=fst, dtype=dt)
 
         self.depth = DepthDecoder(scales=tuple(cfg.scales),
                                   cat2end=cfg.cat2end,
@@ -93,7 +96,7 @@ class FusionNets:
                 self.pose_encoder = ResnetEncoder(
                     depth=self.pose_depth,
                     in_channels=3 * cfg.num_pose_frames, s2d_stem=s2d,
-                    pack2=p2, fold64=f64, dtype=dt)
+                    pack2=p2, fold64=f64, fold_stem=fst, dtype=dt)
                 self.pose = PoseDecoder(num_input_features=1,
                                         num_frames_to_predict_for=2, dtype=dt)
             elif cfg.pose_model_type == "shared":

@@ -54,7 +54,8 @@ class PoseDecoder(nn.Module):
                       name="pose_2")(out)
 
         out = out.mean(axis=(1, 2))  # global average over H, W
-        out = 0.01 * out.reshape(-1, n_pred, 1, 6).astype(jnp.float32)
+        out = 0.01 * out.reshape(-1, n_pred, 1, 6).astype(
+            jnp.promote_types(out.dtype, jnp.float32))
         return out[..., :3], out[..., 3:]
 
 
@@ -87,5 +88,6 @@ class PoseCNN(nn.Module):
                       dtype=self.dtype, name="pose_conv")(out)
         out = out.mean(axis=(1, 2))
         out = 0.01 * out.reshape(
-            -1, self.num_input_frames - 1, 1, 6).astype(jnp.float32)
+            -1, self.num_input_frames - 1, 1, 6).astype(
+            jnp.promote_types(out.dtype, jnp.float32))
         return out[..., :3], out[..., 3:]

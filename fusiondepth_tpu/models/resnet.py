@@ -84,6 +84,49 @@ class _S2DStemConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class _FoldStemConv(nn.Module):
+    """conv1 emitting the W-folded (F=2) layout DIRECTLY from the conv.
+
+    The fold64 encoder's `fold(conv1(x), 2)` reshape sits at a conv-output
+    layout boundary: XLA lays conv outputs {3,0,2,1} (batch second-minor),
+    so the "free" (W, C)-contiguous reshape is a real HBM relayout there
+    (PERF.md HLO byte anatomy). Emitting folded columns straight from the
+    stem removes the boundary: fold slot p of folded output col j is the
+    original stride-2 output col 2j+p, i.e.
+
+        out[i, j, p*64+co] = sum_{ky,kx} w[ky, kx, ci, co]
+                                         x[2i+ky-3, 4j + (kx+2p) - 3, ci]
+
+    — one conv with stride (2, 4), W padding (3, 2), and a (7, 9, C, 128)
+    kernel holding w at [ky, kx+2p, ci, p*64+co] (zeros elsewhere; 9/7 MAC
+    inflation on the tiny stem). Param name/shape/init match nn.Conv's
+    (7, 7, C, 64) exactly, so checkpoints and torch import are unchanged.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        B, H, W, C = x.shape
+        assert H % 2 == 0 and W % 4 == 0, (H, W)
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, C, self.features), jnp.float32)
+        ind = np.zeros((7, 2, 9), np.float32)
+        for kx in range(7):
+            for p in range(2):
+                ind[kx, p, kx + 2 * p] = 1.0
+        ind = jnp.asarray(ind, w.dtype)
+        # w9[ky, kx', ci, p*F + co] = w[ky, kx'-2p, ci, co]
+        w9 = jnp.einsum("ykcb,kpx->yxcpb", w, ind)
+        w9 = w9.reshape(7, 9, C, 2 * self.features).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w9, (2, 4), ((3, 3), (3, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 from fusiondepth_tpu.ops.pooling import max_pool_3x3s2  # noqa: E402
 # (re-exported here for probes/tests; implementation + custom VJP live in
 # ops/pooling.py — see its docstring for the TPU layout rationale)
@@ -344,6 +387,10 @@ class ResnetEncoder(nn.Module):
     # (ops/folded.fold_kernel3x3, 2x the MACs — trivial at these sizes);
     # BN stats tied across fold slots equal the unfolded stats exactly.
     fold64: bool = False
+    # emit the stem conv's output directly in the F=2 folded layout
+    # (_FoldStemConv) instead of fold()ing after — removes the conv-output
+    # layout boundary under the fold reshape. Only with fold64.
+    fold_stem: bool = False
     truncate_at: Optional[int] = None  # perf-probe: stop after N stages
     dtype: Any = jnp.float32
 
@@ -361,21 +408,31 @@ class ResnetEncoder(nn.Module):
             return [x]
 
         features = []
-        if self.s2d_stem:
+        use_pack = (self.pack2 and not bottleneck and x.shape[0] % 2 == 0)
+        use_fold = (self.fold64 and not use_pack and not bottleneck
+                    and x.shape[2] % 4 == 0)
+        use_fold_stem = (use_fold and self.fold_stem and not self.s2d_stem
+                         and x.shape[1] % 2 == 0)
+        yf = None
+        if use_fold_stem:
+            yf = _FoldStemConv(64, dtype=self.dtype, name="conv1")(x)
+            if stop == 1:
+                from fusiondepth_tpu.ops.folded import unfold
+
+                return [unfold(yf, 64)]
+        elif self.s2d_stem:
             y = _S2DStemConv(64, dtype=self.dtype, name="conv1")(x)
         else:
             y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                         dtype=self.dtype, name="conv1")(x)
-        if stop == 1:
+        if yf is None and stop == 1:
             return [y]
 
-        use_pack = (self.pack2 and not bottleneck and y.shape[0] % 2 == 0)
-        use_fold = (self.fold64 and not use_pack and not bottleneck
-                    and y.shape[2] % 2 == 0)
         if use_fold:
             from fusiondepth_tpu.ops.folded import fold, unfold
 
-            yf = fold(y, 2)
+            if yf is None:
+                yf = fold(y, 2)
             yf = BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, pack=2, dtype=self.dtype,
                            name="bn1")(yf)

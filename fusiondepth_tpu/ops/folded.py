@@ -254,7 +254,7 @@ def conv3x3_folded(inputs, kernels, bias=None, *, F: int, pad: bool = True,
             y = jax.lax.conv_general_dilated(
                 xp, wf.astype(xp.dtype), (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = y.astype(jnp.float32)
+        y = y.astype(jnp.promote_types(y.dtype, jnp.float32))
         out = y if out is None else out + y
     if bias is not None:
         Cout = bias.shape[0]

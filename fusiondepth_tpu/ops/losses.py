@@ -64,15 +64,16 @@ def si_loss(depth, ref_depth, threshold: float = 5.0, si_var: float = 0.3,
     Callers apply the reference's hard-coded metric factor (depth * 26.0)
     before calling. Returns a scalar; 0 when no pixel is valid.
     """
-    depth = depth.astype(jnp.float32)
-    ref_depth = ref_depth.astype(jnp.float32)
+    acc = jnp.promote_types(jnp.result_type(depth, ref_depth), jnp.float32)
+    depth = depth.astype(acc)
+    ref_depth = ref_depth.astype(acc)
     valid = (
         (ref_depth > min_d)
         & (depth < max_d)
         & (depth > min_d)
         & (jnp.abs(depth - ref_depth) < threshold)
     )
-    w = valid.astype(jnp.float32)
+    w = valid.astype(acc)
     n = w.sum()
     safe_depth = jnp.where(valid, depth, 1.0)
     safe_ref = jnp.where(valid, ref_depth, 1.0)

@@ -147,7 +147,18 @@ def _chan_matrices(C, dtype):
     return Pt, P
 
 
-def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
+def _fwd_mode() -> str:
+    """Horizontal-weight construction for the fwd kernel, read at TRACE
+    time for bench-ladder A/B: "tent" (one matmul against the blended
+    relu(1-|w-ix|) matrix) or "pair" (two matmuls against integer one-hot
+    pairs + a VPU blend — the construction the bwd kernel uses, which
+    measures cheaper per tile than the float tent despite the extra
+    matmul: int compares/selects beat float abs/max + cast)."""
+    import os
+    return os.environ.get("FUSIONDEPTH_WARP_FWD", "tent")
+
+
+def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec, mode):
     ix = ix_ref[0, 0, 0]  # (RT, W)
     iy = iy_ref[0, 0, 0]
     n_strips = -(-W // LS)
@@ -155,8 +166,8 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
     # loop-invariant index grids, hoisted: bw = min(BW, W) is the same for
     # every strip, so ONE iota+cast serves all (row, strip) iterations
     bw_all = min(BW, W)
-    ids = jax.lax.broadcasted_iota(
-        jnp.int32, (bw_all, LS), 0).astype(jnp.float32)
+    ids_i = jax.lax.broadcasted_iota(jnp.int32, (bw_all, LS), 0)
+    ids = ids_i.astype(jnp.float32)
     kloc = _kloc_grid(C, LS)
     for i in range(RT):
         yb, _, _ = _ywin(iy[i], H)
@@ -165,14 +176,26 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec):
         for s in range(n_strips):
             bs, bw, sw = _band(s, W)
             cols = slice(s * LS, s * LS + sw)
-            # weights in the source dtype: tent weights are exact at the
-            # two support columns, and bf16 wx only re-rounds what a bf16
-            # MXU pass rounds anyway
-            Cx = _cx_tent(ix[i, cols], bs, bw, ids[:, :sw], win.dtype)
-            Hrow = jax.lax.dot_general(
-                win[:, bs:bs + bw], Cx, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec)                        # (C*WR, sw)
+            if mode == "pair":
+                O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw,
+                                          ids_i[:bw, :sw])
+                band = win[:, bs:bs + bw]
+                A0 = jax.lax.dot_general(
+                    band, O0.astype(win.dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                A1 = jax.lax.dot_general(
+                    band, O1.astype(win.dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                Hrow = A0 + wx[None, :] * (A1 - A0)    # (C*WR, sw)
+            else:
+                # weights in the source dtype: tent weights are exact at
+                # the two support columns, and bf16 wx only re-rounds what
+                # a bf16 MXU pass rounds anyway
+                Cx = _cx_tent(ix[i, cols], bs, bw, ids[:, :sw], win.dtype)
+                Hrow = jax.lax.dot_general(
+                    win[:, bs:bs + bw], Cx, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                    # (C*WR, sw)
             M = _my_tent(yloc[cols], kloc[:, :sw])
             out_ref[0, 0, 0, :, i, cols] = jax.lax.dot_general(
                 Pt, Hrow * M, (((1,), (0,)), ((), ())),
@@ -261,7 +284,7 @@ def _warp_fwd(coords, sources, interpret, prec):
     # and coords stay f32 (f32 8-sublane tiling fits the RT-row blocks,
     # and accumulation is f32 regardless)
     out = pl.pallas_call(
-        partial(_fwd_kernel, H=H, W=W, C=C, prec=prec),
+        partial(_fwd_kernel, H=H, W=W, C=C, prec=prec, mode=_fwd_mode()),
         grid=grid,
         in_specs=[cspec, cspec, sspec],
         out_specs=ospec,

@@ -149,13 +149,15 @@ def smoothness_planes(disp, img):
     gdy = jnp.abs(disp[..., :-1, :] - disp[..., 1:, :])
     gix = jnp.abs(img[..., :, :-1] - img[..., :, 1:]).mean(-3)
     giy = jnp.abs(img[..., :-1, :] - img[..., 1:, :]).mean(-3)
-    # f32 accumulation: safe under a bf16 image path
-    return ((gdx * jnp.exp(-gix)).mean(dtype=jnp.float32)
-            + (gdy * jnp.exp(-giy)).mean(dtype=jnp.float32))
+    # f32 accumulation: safe under a bf16 image path (f64 stays f64)
+    acc = jnp.promote_types(gdx.dtype, jnp.float32)
+    return ((gdx * jnp.exp(-gix)).mean(dtype=acc)
+            + (gdy * jnp.exp(-giy)).mean(dtype=acc))
 
 
 def normalized_smoothness_planes(disp, color):
     """Mean-normalized disparity smoothness (reference trainer.py:566-571)."""
     mean_disp = disp.mean(axis=(-2, -1), keepdims=True,
-                          dtype=jnp.float32).astype(disp.dtype)
+                          dtype=jnp.promote_types(disp.dtype, jnp.float32)
+                          ).astype(disp.dtype)
     return smoothness_planes(disp / (mean_disp + 1e-7), color)

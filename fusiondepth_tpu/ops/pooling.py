@@ -119,8 +119,11 @@ def _pool_even_bwd(res, g):
     # ties per window: 9 taps of window (a, b) expressed from the input
     # parity planes (rows 2a-1|2a|2a+1 -> x_o?[a-1]|x_e?[a]|x_o?[a];
     # cols analogous)
+    # accumulate in f32, or f64 under the torch-oracle parity suite
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+
     def _eq(t):
-        return (t == o).astype(jnp.float32)
+        return (t == o).astype(acc)
 
     cnt = (
         _eq(_sh_up(_sh_left(x_oo, -inf), -inf))   # (2a-1, 2b-1)
@@ -133,7 +136,7 @@ def _pool_even_bwd(res, g):
         + _eq(x_oe)                               # (2a+1, 2b)
         + _eq(x_oo)                               # (2a+1, 2b+1)
     )
-    gc = g.astype(jnp.float32) / cnt
+    gc = g.astype(acc) / cnt
     gc_d, gc_r = _sh_dn(gc, 0.0), _sh_right(gc, 0.0)
     gc_dr = _sh_dn(gc_r, 0.0)
     o_d, o_r = _sh_dn(o, inf), _sh_right(o, inf)

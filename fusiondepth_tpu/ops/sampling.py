@@ -24,9 +24,11 @@ def grid_sample(img, grid):
     B, H, W, C = img.shape
     _, Ho, Wo, _ = grid.shape
     dtype = img.dtype
+    # accumulate in f32, or f64 when the inputs are f64 (torch-oracle parity)
+    acc = jnp.promote_types(jnp.result_type(img, grid), jnp.float32)
 
-    gx = grid[..., 0].astype(jnp.float32)
-    gy = grid[..., 1].astype(jnp.float32)
+    gx = grid[..., 0].astype(acc)
+    gy = grid[..., 1].astype(acc)
 
     # unnormalize (align_corners=False): p = ((g + 1) * size - 1) / 2
     ix = ((gx + 1.0) * W - 1.0) * 0.5
@@ -61,13 +63,13 @@ def grid_sample(img, grid):
     v10 = gather(y1, x0)
     v11 = gather(y1, x1)
 
-    wx = wx[..., None].astype(jnp.float32)
-    wy = wy[..., None].astype(jnp.float32)
+    wx = wx[..., None].astype(acc)
+    wy = wy[..., None].astype(acc)
 
     out = (
-        v00.astype(jnp.float32) * (1 - wx) * (1 - wy)
-        + v01.astype(jnp.float32) * wx * (1 - wy)
-        + v10.astype(jnp.float32) * (1 - wx) * wy
-        + v11.astype(jnp.float32) * wx * wy
+        v00.astype(acc) * (1 - wx) * (1 - wy)
+        + v01.astype(acc) * wx * (1 - wy)
+        + v10.astype(acc) * (1 - wx) * wy
+        + v11.astype(acc) * wx * wy
     )
     return out.astype(dtype)

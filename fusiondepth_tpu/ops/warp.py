@@ -100,9 +100,11 @@ def warp_planes_xla(sources, grids):
     n, B, C, H, W = sources.shape
     k = grids.shape[1]
     dtype = sources.dtype
+    # accumulate in f32, or f64 when the inputs are f64 (torch-oracle parity)
+    acc = jnp.promote_types(jnp.result_type(sources, grids), jnp.float32)
 
-    gx = grids[..., 0].astype(jnp.float32)
-    gy = grids[..., 1].astype(jnp.float32)
+    gx = grids[..., 0].astype(acc)
+    gy = grids[..., 1].astype(acc)
     ix = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1)
     iy = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1)
     x0f = jnp.floor(ix)
@@ -122,7 +124,7 @@ def warp_planes_xla(sources, grids):
             lambda i: jnp.take_along_axis(flat, i, axis=-1),
             in_axes=1, out_axes=1,
         )(idx)
-        return g.reshape(n, k, B, C, H, W).astype(jnp.float32)
+        return g.reshape(n, k, B, C, H, W).astype(acc)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x1)

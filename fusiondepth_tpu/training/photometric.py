@@ -142,7 +142,8 @@ def _generate_images_pred_planes(cfg: Config, batch, outputs, frame_ids,
     # bf16 training runs the whole loss image-path in bf16 (halves the HBM
     # traffic of the warped/SSIM maps — the loss is bandwidth-bound); all
     # mean-reductions accumulate in f32, and f32 training stays exact
-    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cdt = {"bfloat16": jnp.bfloat16,
+           "float64": jnp.float64}.get(cfg.compute_dtype, jnp.float32)
     sources_p = jnp.stack([
         to_planes(batch["color"][:, fid_index[f]]) for f in src_frames]
     ).astype(cdt)
@@ -253,7 +254,8 @@ def _compute_losses_planes(cfg: Config, batch, outputs, rng,
                 outputs[f"identity_selection/{scale}"] = (
                     idxs >= identity.shape[0]).astype(jnp.float32)
 
-        loss = loss + to_optimise.mean(dtype=jnp.float32)
+        loss = loss + to_optimise.mean(
+            dtype=jnp.promote_types(to_optimise.dtype, jnp.float32))
 
         disp = outputs[("disp", scale)][..., 0]  # (B, Hs, Ws) planes-native
         smooth = normalized_smoothness_planes(disp, pyr[scale])

@@ -576,6 +576,17 @@ def main():
                   lambda c, v, x: _enc_grad(enc_f, c, v, x), v3, x3,
                   flops=3 * ENC_GF)
 
+    if "enc3_fst" in pieces or "enc3_fst_grad" in pieces:
+        enc_fs = ResnetEncoder(depth=18, in_channels=3, fold64=True,
+                               fold_stem=True, dtype=dt)
+        if "enc3_fst" in pieces:
+            timed("enc3_fst", lambda c, v, x: _enc_fwd(enc_fs, c, v, x, True),
+                  v3, x3, flops=ENC_GF)
+        if "enc3_fst_grad" in pieces:
+            timed("enc3_fst_grad",
+                  lambda c, v, x: _enc_grad(enc_fs, c, v, x), v3, x3,
+                  flops=3 * ENC_GF)
+
     if "enc3_s2d" in pieces or "enc3_s2d_grad" in pieces:
         enc_s = ResnetEncoder(depth=18, in_channels=3, s2d_stem=True,
                               dtype=dt)

@@ -125,10 +125,13 @@ def main():
 
     by_kind_bytes = defaultdict(int)
     by_kind_count = defaultdict(int)
+    by_src_bytes = defaultdict(int)   # JAX-level origin (HLO metadata)
+    by_src_count = defaultdict(int)
     ops = []
     # op kind = first lowercase identifier followed by "(" after the "=";
     # layout/tile markers (T(8,128), S(3)) are uppercase and skipped
     kind_re = re.compile(r"\s([a-z][a-z0-9_\-]*)\(")
+    meta_re = re.compile(r'op_name="([^"]*)"')
     # only ENTRY-computation ops touch HBM; fusion bodies are VMEM-internal
     in_entry = False
     for line in txt.splitlines():
@@ -151,17 +154,35 @@ def main():
         b_out = shape_bytes(out_part)
         by_kind_bytes[kind] += b_out
         by_kind_count[kind] += 1
+        # attribute to the originating JAX op via HLO metadata: keep the
+        # tail of the op_name path (the jaxpr eqn + its enclosing fn)
+        mm = meta_re.search(line)
+        src = "<no-metadata>"
+        if mm:
+            parts = mm.group(1).split("/")
+            src = "/".join(parts[-2:]) if len(parts) > 1 else parts[-1]
+        key = f"{kind:18s} {src}"
+        by_src_bytes[key] += b_out
+        by_src_count[key] += 1
         if b_out > 20e6:
-            ops.append((b_out, kind, line[:160]))
+            ops.append((b_out, kind, line[:240]))
 
     print("== output bytes by op kind (top 15):")
     for k in sorted(by_kind_bytes, key=by_kind_bytes.get, reverse=True)[:15]:
         print(f"  {k:24s} {by_kind_bytes[k]/1e9:8.2f} GB out  "
               f"x{by_kind_count[k]}")
+    print("== output bytes by (kind, jax op) (top 30):")
+    for k in sorted(by_src_bytes, key=by_src_bytes.get, reverse=True)[:30]:
+        print(f"  {by_src_bytes[k]/1e9:8.2f} GB x{by_src_count[k]:<4d} {k}")
     print("== biggest single op outputs (top 25):")
     ops.sort(reverse=True)
     for b, k, line in ops[:25]:
-        print(f"  {b/1e6:9.1f} MB {line}")
+        mm = meta_re.search(line)
+        tag = ""
+        if mm:
+            parts = mm.group(1).split("/")
+            tag = "  <- " + "/".join(parts[-3:])
+        print(f"  {b/1e6:9.1f} MB {line.split(' metadata=')[0][:130]}{tag}")
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}

@@ -96,6 +96,57 @@ def test_grads_match_f64():
                 atol=1e-9, err_msg=str(ka))
 
 
+def test_fold_stem_param_tree_and_forward(setup):
+    """_FoldStemConv emits the folded layout directly from conv1 with the
+    same (7,7,C,64) param under the same name — outputs must match the
+    generic encoder."""
+    x, v = setup
+    enc = ResnetEncoder(depth=18, in_channels=3, fold64=True, fold_stem=True)
+    vf = enc.init(jax.random.PRNGKey(0), x, train=True)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(vf))
+    for (ka, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(v),
+            jax.tree_util.tree_leaves_with_path(vf)):
+        assert a.shape == b.shape, (ka, a.shape, b.shape)
+    out_u = _mk(False).apply(v, x, train=False)
+    out_f = enc.apply(v, x, train=False)
+    assert len(out_u) == len(out_f)
+    for a, b in zip(out_u, out_f):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_fold_stem_grads_match_f64():
+    with jax.enable_x64():
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 48, 3),
+                               dtype=jnp.float64)
+
+        def mk(fs):
+            return ResnetEncoder(depth=18, in_channels=3, fold64=True,
+                                 fold_stem=fs, dtype=jnp.float64)
+
+        v = mk(False).init(rng, x, train=True)
+        v = jax.tree.map(lambda t: t.astype(jnp.float64), v)
+
+        def loss(params, mod):
+            feats, _ = mod.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return sum(jnp.sum(f * f) for f in feats)
+
+        gu = jax.grad(lambda p: loss(p, mk(False)))(v["params"])
+        gf = jax.grad(lambda p: loss(p, mk(True)))(v["params"])
+        for (ka, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(gu),
+                jax.tree_util.tree_leaves_with_path(gf)):
+            scale = float(np.max(np.abs(np.asarray(a)))) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale,
+                atol=1e-9, err_msg=str(ka))
+
+
 def test_odd_width_falls_back(setup):
     _, v = setup
     x3 = jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 62, 3))

@@ -39,11 +39,12 @@ class _BasicBlockT(tnn.Module):
 
 
 class _ResNet18T(tnn.Module):
-    """Feature-pyramid ResNet-18 with torchvision naming."""
+    """Feature-pyramid ResNet-18 with torchvision naming; `in_ch` covers
+    the fusion first-conv variants (2/3/4/6 channels)."""
 
-    def __init__(self):
+    def __init__(self, in_ch: int = 3):
         super().__init__()
-        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.conv1 = tnn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
         self.maxpool = tnn.MaxPool2d(3, 2, 1)
         widths = (64, 128, 256, 512)
