@@ -397,15 +397,17 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 TRAIN_LADDER = [
     ("r4_default_b24", dict(batch_size=24)),  # defaults, headline batch
     ("r4_default_b12", dict()),               # defaults, trend batch
+    ("r4_warp_bw256_b24", dict(batch_size=24, _warpbw="256")),
     ("r4_no_fold64_b12", dict(fold64_encoder=False)),  # pre-fold fallback
     ("r4_reproj_b12", dict(pallas_reproj=True)),
     ("r2_no_pallas_pool_b12", dict(_pool="0")),
 ]
 
 # The first LADDER_MIN_RUNGS rungs are ALWAYS attempted (the recorded
-# artifact must carry the default config at b24 AND b12 plus one fallback —
-# VERDICT r3 weak #2); the budget only gates the optional tail rungs.
-LADDER_MIN_RUNGS = 3
+# artifact must carry the default config at b24 AND b12, the round-4
+# narrow-band A/B, plus one fallback — VERDICT r3 weak #2); the budget
+# only gates the optional tail rungs.
+LADDER_MIN_RUNGS = 4
 LADDER_BUDGET_S = float(__import__("os").environ.get(
     "BENCH_LADDER_BUDGET", 1500))
 
@@ -446,6 +448,7 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
         flags = dict(flags)
         os.environ["FUSIONDEPTH_PALLAS_POOL"] = flags.pop("_pool", "1")
         os.environ["FUSIONDEPTH_FOLD_HALO"] = flags.pop("_halo", "0")
+        os.environ["FUSIONDEPTH_WARP_BW"] = flags.pop("_warpbw", "384")
         try:
             r = bench_train(dict(base, **flags), metric, batch=12)[-1]
         except Exception as e:  # noqa: BLE001 - rung must not kill the run
@@ -456,6 +459,7 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
         finally:
             os.environ.pop("FUSIONDEPTH_PALLAS_POOL", None)
             os.environ.pop("FUSIONDEPTH_FOLD_HALO", None)
+            os.environ.pop("FUSIONDEPTH_WARP_BW", None)
         ladder[name] = {"value": r["value"], "step_ms": r["step_ms"]}
         print(f"ladder rung {name}: {r['value']} samples/s", file=sys.stderr)
         known = BEST_KNOWN_STEP_MS.get(name)

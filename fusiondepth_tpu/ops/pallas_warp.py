@@ -60,10 +60,27 @@ BW = 384  # source-band columns per output strip (covers |ix-col|<=128)
 WH = WR
 
 
+def _band_bw() -> int:
+    """Effective source-band width, read at TRACE time for bench-ladder
+    A/B: 384 (default, exact for |ix-col| <= 128 px) or 256 (bands start
+    64 px left of the strip: exact for |ix-col| <= 64 px — still an order
+    of magnitude above KITTI reprojection motion — with the same graceful
+    band-edge clamp beyond). The narrow band cuts BOTH the per-strip tent
+    construction (the fwd kernel's dominant VPU cost, PERF.md round-3
+    anatomy) and the one-hot MXU MACs by a third."""
+    import os
+    return int(os.environ.get("FUSIONDEPTH_WARP_BW", "384"))
+
+
 def _band(s: int, W: int):
     """Static (source-band start, band width, strip width) for strip s."""
-    bw = min(BW, W)
-    bs = min(max((s - 1) * LS, 0), W - bw)
+    bwe = _band_bw()
+    bw = min(bwe, W)
+    if bw >= 384 or W <= bw:
+        bs = min(max((s - 1) * LS, 0), W - bw)
+    else:
+        # narrow band: center on the strip (64-px lead), 64-aligned start
+        bs = min(max(s * LS - (bw - LS) // 2, 0), W - bw)
     sw = min(LS, W - s * LS)
     return bs, bw, sw
 
@@ -89,10 +106,20 @@ def _cx_tent(ixs, bs, bw, ids, dtype):
     `ids` is the hoisted f32 (bw, sw) source-column iota (identical for
     every row and strip — tpu.iota is integer-only on Mosaic and the
     int->f32 cast is a full-tile VPU pass, so it is built ONCE per
-    program, not per (row, strip))."""
+    program, not per (row, strip)).
+
+    For a bf16 target the abs/1-/relu chain runs in bf16 (16-bit lanes
+    pack 2x per vreg) AFTER an exact f32 subtract: the subtract needs f32
+    (column ids up to 639 are not bf16-exact), but |t| < 1 values round
+    identically whether the tent is built in f32 and cast or built in
+    bf16 — the MXU pass consumes bf16 weights either way."""
     ixloc = jnp.clip(ixs, bs, bs + bw - 1) - bs
-    return jnp.maximum(0.0, 1.0 - jnp.abs(ids - ixloc[None, :])).astype(
-        dtype)
+    t = ids - ixloc[None, :]
+    if dtype == jnp.bfloat16:
+        t = t.astype(jnp.bfloat16)
+        return jnp.maximum(jnp.bfloat16(0.0),
+                           jnp.bfloat16(1.0) - jnp.abs(t))
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t)).astype(dtype)
 
 
 def _my_tent(iyr_loc, kloc):
@@ -163,9 +190,10 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec, mode):
     iy = iy_ref[0, 0, 0]
     n_strips = -(-W // LS)
     Pt, _ = _chan_matrices(C, jnp.float32)
-    # loop-invariant index grids, hoisted: bw = min(BW, W) is the same for
-    # every strip, so ONE iota+cast serves all (row, strip) iterations
-    bw_all = min(BW, W)
+    # loop-invariant index grids, hoisted: bw = min(band width, W) is the
+    # same for every strip, so ONE iota+cast serves all (row, strip)
+    # iterations
+    bw_all = min(_band_bw(), W)
     ids_i = jax.lax.broadcasted_iota(jnp.int32, (bw_all, LS), 0)
     ids = ids_i.astype(jnp.float32)
     kloc = _kloc_grid(C, LS)
@@ -209,7 +237,7 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
     iy = iy_ref[0, 0, 0]
     n_strips = -(-W // LS)
     _, P = _chan_matrices(C, jnp.float32)
-    bw_all = min(BW, W)
+    bw_all = min(_band_bw(), W)
     ids_i = jax.lax.broadcasted_iota(jnp.int32, (bw_all, LS), 0)
     rid = jax.lax.broadcasted_iota(jnp.int32, (C * WR, LS), 0)
     kloc_i = rid - (rid // WR) * WR
@@ -376,7 +404,7 @@ def analytic_costs(n, k, B, C, H, W, bwd=False, dtype_bytes=2):
     cotangent and the two coordinate cotangents).
     """
     rows = n * k * B * H
-    mm = sum(2 * C * WR * min(BW, W) * _band(s, W)[2]
+    mm = sum(2 * C * WR * _band(s, W)[1] * _band(s, W)[2]
              for s in range(-(-W // LS)))
     flops = rows * mm * (2 if bwd else 1)
     coords = n * k * B * H * W * 4 * 2

@@ -20,6 +20,10 @@ DT_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
 
 SHAPE_RE = re.compile(r"(f32|bf16|f16|s32|u32|s64|u8|s8|pred)\[([0-9,]*)\]")
 
+# shape WITH an explicit layout, e.g. bf16[12,96,320,64]{1,3,2,0}
+SHAPE_LAYOUT_RE = re.compile(
+    r"(f32|bf16|f16|s32|u32|s64|u8|s8|pred)\[([0-9,]*)\]\{([0-9,]*)\}")
+
 
 def shape_bytes(text):
     total = 0
@@ -127,6 +131,8 @@ def main():
     by_kind_count = defaultdict(int)
     by_src_bytes = defaultdict(int)   # JAX-level origin (HLO metadata)
     by_src_count = defaultdict(int)
+    by_copy_bytes = defaultdict(int)  # layout transition of copy/transpose
+    by_copy_count = defaultdict(int)
     ops = []
     # op kind = first lowercase identifier followed by "(" after the "=";
     # layout/tile markers (T(8,128), S(3)) are uppercase and skipped
@@ -164,6 +170,20 @@ def main():
         key = f"{kind:18s} {src}"
         by_src_bytes[key] += b_out
         by_src_count[key] += 1
+        if kind in ("copy", "transpose", "bitcast", "copy-start"):
+            # attribute the layout transition: first shape{layout} on the
+            # line is the output, the next is the operand
+            sl = SHAPE_LAYOUT_RE.findall(line)
+            if len(sl) >= 2:
+                (odt, odims, olay), (idt, idims, ilay) = sl[0], sl[1]
+                tkey = (f"{odt}[{odims}] {{{ilay}}}->{{{olay}}}"
+                        if odims == idims else
+                        f"{idt}[{idims}]{{{ilay}}} -> {odt}[{odims}]"
+                        f"{{{olay}}}")
+            else:
+                tkey = f"<no-operand-layout> {src}"
+            by_copy_bytes[f"{kind:10s} {tkey}"] += b_out
+            by_copy_count[f"{kind:10s} {tkey}"] += 1
         if b_out > 20e6:
             ops.append((b_out, kind, line[:240]))
 
@@ -174,6 +194,9 @@ def main():
     print("== output bytes by (kind, jax op) (top 30):")
     for k in sorted(by_src_bytes, key=by_src_bytes.get, reverse=True)[:30]:
         print(f"  {by_src_bytes[k]/1e9:8.2f} GB x{by_src_count[k]:<4d} {k}")
+    print("== copy/transpose bytes by layout transition (top 20):")
+    for k in sorted(by_copy_bytes, key=by_copy_bytes.get, reverse=True)[:20]:
+        print(f"  {by_copy_bytes[k]/1e9:8.2f} GB x{by_copy_count[k]:<4d} {k}")
     print("== biggest single op outputs (top 25):")
     ops.sort(reverse=True)
     for b, k, line in ops[:25]:

@@ -144,6 +144,58 @@ def test_gather_backend_multi_strip_interpret():
                                atol=1e-5)
 
 
+def test_narrow_band_matches_grid_sample(monkeypatch):
+    """FUSIONDEPTH_WARP_BW=256 shrinks the per-strip source band to 256
+    columns (64-px lead on each side of the strip): exact for
+    |ix - col| <= 64 px — still ~6x KITTI-scale reprojection motion — and
+    it must equal the XLA gather oracle for displacements inside that
+    domain, forward and coordinate gradients, across strip boundaries."""
+    monkeypatch.setenv("FUSIONDEPTH_WARP_BW", "256")
+    rng = np.random.default_rng(21)
+    Hh, Ww = 32, 384
+    src = jnp.asarray(rng.uniform(size=(1, Hh, Ww, C)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(Hh), np.arange(Ww), indexing="ij")
+    dx = 50.0 * np.sin(ys / 7.0) + 0.41     # inside the +-64 px domain
+    dy = 2.0 * np.cos(xs / 13.0) + 0.2
+    ix = np.clip(xs + dx, 0.3, Ww - 1.3)
+    iy = np.clip(ys + dy, 0.3, Hh - 1.3)
+    gx = (2 * ix + 1) / Ww - 1
+    gy = (2 * iy + 1) / Hh - 1
+    g = jnp.asarray(np.stack([gx, gy], -1)[None].astype(np.float32))
+
+    (o,) = warp_bilinear_banded([src], [(0, g)], interpret=True)
+    ref = grid_sample(src, g)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+
+    w = jnp.asarray(rng.normal(size=(1, Hh, Ww, C)).astype(np.float32))
+
+    def lp(gg):
+        (oo,) = warp_bilinear_banded([src], [(0, gg)], interpret=True)
+        return (oo * w).sum()
+
+    def lx(gg):
+        return (grid_sample(src, gg) * w).sum()
+
+    np.testing.assert_allclose(np.asarray(jax.grad(lp)(g)),
+                               np.asarray(jax.grad(lx)(g)),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_bf16_source_tent_forward():
+    """bf16 sources take the bf16 tent-construction path (_cx_tent builds
+    the relu(1-|t|) chain in bf16 after an exact f32 subtract); the result
+    must match the f32 gather oracle to bf16 resolution."""
+    srcs, warps = _smooth_warps(seed=7, n_src=1, n_scales=2)
+    srcs16 = [s.astype(jnp.bfloat16) for s in srcs]
+    outs = warp_bilinear_banded(srcs16, warps,
+                                interpret=True,
+                                precision=jax.lax.Precision.DEFAULT)
+    for (si, g), o in zip(warps, outs):
+        ref = grid_sample(srcs[si], g)
+        np.testing.assert_allclose(np.asarray(o, dtype=np.float32),
+                                   np.asarray(ref), atol=2e-2)
+
+
 def test_subband_skipping_matches_grid_sample_wide():
     """The banded kernel skips LS-wide sub-bands of the 384-column band
     via @pl.when range proofs; at W=384 (3 strips x 3 sub-bands) with
