@@ -398,6 +398,7 @@ TRAIN_LADDER = [
     ("r4_default_b24", dict(batch_size=24)),  # defaults, headline batch
     ("r4_default_b12", dict()),               # defaults, trend batch
     ("r4_warp_bw256_b24", dict(batch_size=24, _warpbw="256")),
+    ("r4_no_seam_b12", dict(folded_seam=False)),  # seam A/B fallback
     ("r4_no_fold64_b12", dict(fold64_encoder=False)),  # pre-fold fallback
     ("r4_reproj_b12", dict(pallas_reproj=True)),
     ("r2_no_pallas_pool_b12", dict(_pool="0")),

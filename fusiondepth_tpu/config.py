@@ -212,6 +212,16 @@ class Config:
     # the conv-output {3,0,2,1} layout boundary under the fold reshape
     # (PERF.md HLO byte anatomy). Only active with fold64_encoder.
     fold_stem: bool = False
+    # Keep the encoder's C=64 pyramid levels (stem relu + layer1) in the
+    # F=2 folded layout ACROSS the encoder->decoder seam: the folded
+    # decoder consumes them directly (models/fusion.py wires
+    # ResnetEncoder.folded_features + DepthDecoder.skip_fold), eliding the
+    # unfold-at-encoder-exit / fold-at-decoder-entry reshape pair that the
+    # {3,0,2,1} conv output layout turns into real HBM round trips
+    # (PERF.md HLO byte anatomy). Exact: pure reshape elision, identical
+    # param tree (tests/test_folded_seam.py). Auto-disabled unless the
+    # folded decoder + fold64 encoder are both active and shapes allow.
+    folded_seam: bool = True
     # Multi-host bring-up (SURVEY §5: jax.distributed.initialize + per-host
     # input sharding; parallel/multihost.py). batch_size stays GLOBAL — each
     # host loads batch_size / num_processes samples of ITS split slice.

@@ -32,6 +32,7 @@ from fusiondepth_tpu.ops.folded import (
     conv3x3_folded,
     fold,
     fold_factor,
+    refold,
     unfold,
     upsample2x_folded,
 )
@@ -115,6 +116,12 @@ class DepthDecoder(nn.Module):
     deep: bool = False
     tanh_head: bool = False
     folded: bool = False
+    # fold factor at which pyramid levels 0 and 1 ARRIVE (seam elision:
+    # the fold64 encoder hands its C=64 features over still folded at
+    # F=2, see ResnetEncoder.folded_features). The folded path consumes
+    # them with at most one composing reshape; every other path unfolds
+    # them first. Param tree is unchanged either way.
+    skip_fold: int = 1
     # perf-probe: stop after finishing stage `probe_stop` (4..0); the
     # last folded feature is returned under ("probe_x", 0) so truncated
     # decoders remain differentiable end-to-end (scripts/exp_convnet.py)
@@ -156,6 +163,17 @@ class DepthDecoder(nn.Module):
                 and depth_maps is None):
             return self._folded_forward(input_features, beam_features,
                                         two_channel)
+
+        if self.skip_fold > 1:
+            # seam features arrive folded but this path runs unfolded
+            sf = self.skip_fold
+            input_features = [
+                unfold(f, f.shape[-1] // sf) if i <= 1 else f
+                for i, f in enumerate(input_features)]
+            if beam_features is not None:
+                beam_features = [
+                    unfold(f, f.shape[-1] // sf) if i <= 1 else f
+                    for i, f in enumerate(beam_features)]
 
         outputs = {}
         if beam_features is not None:
@@ -206,6 +224,21 @@ class DepthDecoder(nn.Module):
                 s = s + beam_features[i]
             return s.astype(self.dtype)
 
+        def skip_folded(i, F):
+            """Skip feature i folded at F, plus its ORIGINAL channel count
+            (the kernel-split width). Seam levels (i <= 1 when skip_fold>1)
+            arrive already folded: the elementwise beam fusion runs in the
+            folded layout and reaching F is one composing reshape (a no-op
+            at F == skip_fold, i.e. the layer1 skip)."""
+            if i <= 1 and self.skip_fold > 1:
+                s = input_features[i]
+                if beam_features is not None:
+                    s = s + beam_features[i]
+                Co = s.shape[-1] // self.skip_fold
+                return refold(s.astype(self.dtype), Co, F), Co
+            s = skip_at(i)
+            return fold(s, F), s.shape[-1]
+
         x = skip_at(4) if beam_features is not None else input_features[-1]
         x = x.astype(self.dtype)
         C = x.shape[-1]
@@ -226,9 +259,9 @@ class DepthDecoder(nn.Module):
             xf = upsample2x_folded(xf, F, C)
             ins, chs = [xf], [C]
             if self.use_skips and i > 0:
-                sk = skip_at(i - 1)
-                ins.append(fold(sk, F))
-                chs.append(sk.shape[-1])
+                skf, skC = skip_folded(i - 1, F)
+                ins.append(skf)
+                chs.append(skC)
             xf = ConvBlock(co, dtype=self.dtype, name=f"upconv_{i}_1")(
                 folded_inputs=ins, in_ch=chs, fold_F=F)
             C = co

@@ -60,16 +60,31 @@ class FusionNets:
         p2 = cfg.pack2_encoder
         f64 = cfg.fold64_encoder
         fst = cfg.fold_stem
+        # folded encoder->decoder seam (config.folded_seam): the depth and
+        # beam encoders hand their C=64 pyramid levels to the folded
+        # decoder STILL FOLDED at F=2, eliding the unfold/refold reshape
+        # pair (a real HBM relayout under the {3,0,2,1} conv layout).
+        # Mirrors the exact trace-time gates of both ends: the encoder's
+        # fold64 region must engage (basic-block depth, no pack2, W%4) and
+        # the decoder must take its folded path (folded, no cat2end; the
+        # FusionNets decoders never set road/deep/depth_maps).
+        self.seam_fold = 2 if (
+            cfg.folded_seam and cfg.folded_decoder and not cfg.cat2end
+            and f64 and not p2 and not cfg.paired_encoders
+            and cfg.num_layers <= 34 and cfg.width % 4 == 0) else 1
+        ff = self.seam_fold > 1
         self.encoder = ResnetEncoder(depth=cfg.num_layers, in_channels=enc_in,
                                      s2d_stem=s2d, pack2=p2, fold64=f64,
-                                     fold_stem=fst, dtype=dt)
+                                     fold_stem=fst, folded_features=ff,
+                                     dtype=dt)
 
         self.beam_encoder = None
         self.beam_encoder_pose = None
         if cfg.beam_encoder:
             self.beam_encoder = ResnetEncoder(
                 depth=cfg.num_layers, in_channels=2, s2d_stem=s2d,
-                pack2=p2, fold64=f64, fold_stem=fst, dtype=dt)
+                pack2=p2, fold64=f64, fold_stem=fst, folded_features=ff,
+                dtype=dt)
             self.beam_encoder_pose = ResnetEncoder(
                 depth=self.pose_depth,
                 in_channels=2 * cfg.num_pose_frames, s2d_stem=s2d,
@@ -77,7 +92,8 @@ class FusionNets:
 
         self.depth = DepthDecoder(scales=tuple(cfg.scales),
                                   cat2end=cfg.cat2end,
-                                  folded=cfg.folded_decoder, dtype=dt)
+                                  folded=cfg.folded_decoder,
+                                  skip_fold=self.seam_fold, dtype=dt)
 
         self.predictive_mask = None
         if cfg.predictive_mask:
@@ -87,7 +103,8 @@ class FusionNets:
             self.predictive_mask = DepthDecoder(
                 scales=tuple(cfg.scales),
                 num_output_channels=len(cfg.frame_ids) - 1,
-                folded=cfg.folded_decoder, dtype=dt)
+                folded=cfg.folded_decoder,
+                skip_fold=self.seam_fold, dtype=dt)
 
         self.pose_encoder = None
         self.pose = None
@@ -162,10 +179,15 @@ class FusionNets:
     def _pyramid_shapes(self, batch_size):
         cfg = self.cfg
         chans = RESNET_FEATURE_CHANNELS[cfg.num_layers]
-        return [
+        shapes = [
             (batch_size, cfg.height // 2 ** (i + 1), cfg.width // 2 ** (i + 1), c)
             for i, c in enumerate(chans)
         ]
+        if self.seam_fold > 1:
+            sf = self.seam_fold
+            shapes = [(b, h, w // sf, sf * c) if i <= 1 else (b, h, w, c)
+                      for i, (b, h, w, c) in enumerate(shapes)]
+        return shapes
 
     # ---- forward ----
 

@@ -391,6 +391,13 @@ class ResnetEncoder(nn.Module):
     # (_FoldStemConv) instead of fold()ing after — removes the conv-output
     # layout boundary under the fold reshape. Only with fold64.
     fold_stem: bool = False
+    # return pyramid levels 0 (stem relu) and 1 (layer1) STILL FOLDED at
+    # F=2 — shapes (B, H/2, W/4, 128) / (B, H/4, W/8, 128) — for a folded
+    # decoder that consumes them via DepthDecoder.skip_fold=2, eliding the
+    # unfold/refold reshape pair at the seam (each a real HBM relayout
+    # under the {3,0,2,1} conv output layout). Requires the fold64 path to
+    # actually engage at trace time (asserted).
+    folded_features: bool = False
     truncate_at: Optional[int] = None  # perf-probe: stop after N stages
     dtype: Any = jnp.float32
 
@@ -413,6 +420,11 @@ class ResnetEncoder(nn.Module):
                     and x.shape[2] % 4 == 0)
         use_fold_stem = (use_fold and self.fold_stem and not self.s2d_stem
                          and x.shape[1] % 2 == 0)
+        if self.folded_features:
+            assert use_fold, (
+                "folded_features requires the fold64 path to engage "
+                f"(fold64={self.fold64} pack={use_pack} "
+                f"bottleneck={bottleneck} W={x.shape[2]})")
         yf = None
         if use_fold_stem:
             yf = _FoldStemConv(64, dtype=self.dtype, name="conv1")(x)
@@ -437,7 +449,7 @@ class ResnetEncoder(nn.Module):
                            epsilon=1e-5, pack=2, dtype=self.dtype,
                            name="bn1")(yf)
             yf = nn.relu(yf)
-            features.append(unfold(yf, 64))
+            features.append(yf if self.folded_features else unfold(yf, 64))
             if stop == 2:
                 return features
             # the pool's never-stride-W formulation is already fold-shaped
@@ -449,7 +461,7 @@ class ResnetEncoder(nn.Module):
             for block_i in range(stages[0]):
                 pf = _BasicBlock(64, 1, folded=True, dtype=self.dtype,
                                  name=f"layer1_{block_i}")(pf, train)
-            features.append(unfold(pf, 64))
+            features.append(pf if self.folded_features else unfold(pf, 64))
             if stop == 4:
                 return features
             # layer2's stride-2 entry consumes the STILL-FOLDED layer1

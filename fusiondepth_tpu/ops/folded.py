@@ -55,6 +55,19 @@ def unfold(x, C: int):
     return x.reshape(B, H, Wf * (FC // C), C)
 
 
+def refold(xf, C: int, F_to: int):
+    """(B, H, Wf, F_from*C) -> (B, H, W/F_to, F_to*C): change the fold
+    factor of an already-folded tensor. Folds COMPOSE — lane index
+    C*p + c is preserved under any F in (W, C)-contiguous order — so this
+    is one reshape (XLA collapses the unfold/fold pair)."""
+    B, H, Wf, FC = xf.shape
+    if FC // C == F_to:
+        return xf
+    W = Wf * (FC // C)
+    assert W % F_to == 0, (W, F_to)
+    return xf.reshape(B, H, W // F_to, F_to * C)
+
+
 def fold_factor(C: int, W: int, lanes: int = 128) -> int:
     """Smallest F with F*C a lanes multiple (or 1 if C already is), capped
     by divisibility of W."""
