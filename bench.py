@@ -397,6 +397,7 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 TRAIN_LADDER = [
     ("r4_default_b24", dict(batch_size=24)),  # defaults, headline batch
     ("r4_default_b12", dict()),               # defaults, trend batch
+    ("r4_warp_dyn256_b24", dict(batch_size=24, _warpbw="dyn256")),
     ("r4_warp_bw256_b24", dict(batch_size=24, _warpbw="256")),
     ("r4_no_seam_b12", dict(folded_seam=False)),  # seam A/B fallback
     ("r4_no_fold64_b12", dict(fold64_encoder=False)),  # pre-fold fallback
@@ -408,7 +409,7 @@ TRAIN_LADDER = [
 # artifact must carry the default config at b24 AND b12, the round-4
 # narrow-band A/B, plus one fallback — VERDICT r3 weak #2); the budget
 # only gates the optional tail rungs.
-LADDER_MIN_RUNGS = 4
+LADDER_MIN_RUNGS = 5
 LADDER_BUDGET_S = float(__import__("os").environ.get(
     "BENCH_LADDER_BUDGET", 1500))
 

@@ -60,29 +60,56 @@ BW = 384  # source-band columns per output strip (covers |ix-col|<=128)
 WH = WR
 
 
-def _band_bw() -> int:
-    """Effective source-band width, read at TRACE time for bench-ladder
-    A/B: 384 (default, exact for |ix-col| <= 128 px) or 256 (bands start
-    64 px left of the strip: exact for |ix-col| <= 64 px — still an order
-    of magnitude above KITTI reprojection motion — with the same graceful
-    band-edge clamp beyond). The narrow band cuts BOTH the per-strip tent
-    construction (the fwd kernel's dominant VPU cost, PERF.md round-3
-    anatomy) and the one-hot MXU MACs by a third."""
+def _band_bw():
+    """Effective (source-band width, dynamic?) read at TRACE time for
+    bench-ladder A/B:
+
+    - "384" (static, default): band starts one strip left — exact for
+      |ix-col| <= 128 px, clamping beyond.
+    - "256" (static): bands start 64 px left of the strip — exact for
+      |ix-col| <= 64 px only. Cuts BOTH the per-strip tent construction
+      (the fwd kernel's dominant VPU cost, PERF.md round-3 anatomy) and
+      the one-hot MXU MACs by a third, but 64 px is NOT safely above
+      KITTI near-field temporal motion (fx*t/z ~ 96 px at 3 m) and far
+      below stereo disparities, so it stays opt-in.
+    - "dyn256" / "dynN" (dynamic): per-(row, strip) band start = the
+      128-aligned floor of min(ix) over the strip — same MAC/tent savings
+      as the static narrow band but exact for ANY flow magnitude while
+      the strip's ix SPREAD fits the band (>= bw-129 px guaranteed after
+      alignment; uniform flows of any size are exact), clamping beyond.
+      Costs one 1D lane-min per (row, strip) plus a dynamic lane-start
+      slice (Mosaic requires the 128-alignment)."""
     import os
-    return int(os.environ.get("FUSIONDEPTH_WARP_BW", "384"))
+    v = os.environ.get("FUSIONDEPTH_WARP_BW", "384")
+    if v.startswith("dyn"):
+        return int(v[3:] or 256), True
+    return int(v), False
 
 
 def _band(s: int, W: int):
-    """Static (source-band start, band width, strip width) for strip s."""
-    bwe = _band_bw()
+    """Static (source-band start, band width, strip width) for strip s.
+    In dynamic mode bs is None — computed in-kernel per (row, strip)."""
+    bwe, dyn = _band_bw()
     bw = min(bwe, W)
+    sw = min(LS, W - s * LS)
+    if dyn and W > bw:
+        return None, bw, sw
     if bw >= 384 or W <= bw:
         bs = min(max((s - 1) * LS, 0), W - bw)
     else:
         # narrow band: center on the strip (64-px lead), 64-aligned start
         bs = min(max(s * LS - (bw - LS) // 2, 0), W - bw)
-    sw = min(LS, W - s * LS)
     return bs, bw, sw
+
+
+def _dyn_bs(ixs, W: int, bw: int):
+    """Per-(row, strip) dynamic band start: the 128-aligned floor of the
+    strip's min source column, clipped so the band stays in-image. A 1D
+    lane-min plus scalar ops; the alignment satisfies Mosaic's dynamic
+    lane-start rule and guarantees bs <= min(ix)."""
+    mn = jnp.min(ixs)
+    bs = jnp.clip(jnp.floor(mn).astype(jnp.int32), 0, W - bw)
+    return pl.multiple_of((bs // 128) * 128, 128)
 
 
 def _xpair_strip(ixs, bs, bw, ids):
@@ -193,7 +220,7 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec, mode):
     # loop-invariant index grids, hoisted: bw = min(band width, W) is the
     # same for every strip, so ONE iota+cast serves all (row, strip)
     # iterations
-    bw_all = min(_band_bw(), W)
+    bw_all = min(_band_bw()[0], W)
     ids_i = jax.lax.broadcasted_iota(jnp.int32, (bw_all, LS), 0)
     ids = ids_i.astype(jnp.float32)
     kloc = _kloc_grid(C, LS)
@@ -204,10 +231,14 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec, mode):
         for s in range(n_strips):
             bs, bw, sw = _band(s, W)
             cols = slice(s * LS, s * LS + sw)
+            if bs is None:
+                bs = _dyn_bs(ix[i, cols], W, bw)
+                band = jax.lax.dynamic_slice_in_dim(win, bs, bw, axis=1)
+            else:
+                band = win[:, bs:bs + bw]
             if mode == "pair":
                 O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw,
                                           ids_i[:bw, :sw])
-                band = win[:, bs:bs + bw]
                 A0 = jax.lax.dot_general(
                     band, O0.astype(win.dtype), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec)
@@ -221,7 +252,7 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec, mode):
                 # a bf16 MXU pass rounds anyway
                 Cx = _cx_tent(ix[i, cols], bs, bw, ids[:, :sw], win.dtype)
                 Hrow = jax.lax.dot_general(
-                    win[:, bs:bs + bw], Cx, (((1,), (0,)), ((), ())),
+                    band, Cx, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec)                    # (C*WR, sw)
             M = _my_tent(yloc[cols], kloc[:, :sw])
@@ -237,7 +268,7 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
     iy = iy_ref[0, 0, 0]
     n_strips = -(-W // LS)
     _, P = _chan_matrices(C, jnp.float32)
-    bw_all = min(_band_bw(), W)
+    bw_all = min(_band_bw()[0], W)
     ids_i = jax.lax.broadcasted_iota(jnp.int32, (bw_all, LS), 0)
     rid = jax.lax.broadcasted_iota(jnp.int32, (C * WR, LS), 0)
     kloc_i = rid - (rid // WR) * WR
@@ -257,8 +288,12 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
                 precision=prec)                         # (C*WR, sw)
             # two one-hot matmuls give BOTH Hrow and its x-derivative:
             # Hrow = A0 (1-wx) + A1 wx, dHrow/dix = A1 - A0
+            if bs is None:
+                bs = _dyn_bs(ix[i, cols], W, bw)
+                band = jax.lax.dynamic_slice_in_dim(win, bs, bw, axis=1)
+            else:
+                band = win[:, bs:bs + bw]
             O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw, ids_i[:, :sw])
-            band = win[:, bs:bs + bw]
             A0 = jax.lax.dot_general(
                 band, O0.astype(win.dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)

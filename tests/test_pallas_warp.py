@@ -181,6 +181,53 @@ def test_narrow_band_matches_grid_sample(monkeypatch):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_dynamic_band_matches_grid_sample(monkeypatch):
+    """FUSIONDEPTH_WARP_BW=dyn256: per-(row, strip) band start = the
+    128-aligned floor of the strip's min ix. Exact for ANY flow magnitude
+    while the in-strip ix spread fits the band — here a +173 px uniform
+    shift plus smooth wiggle, which the STATIC 384 band would clamp
+    (|ix-col| > 128). Forward and coordinate gradients vs the XLA gather
+    oracle, across strip boundaries."""
+    monkeypatch.setenv("FUSIONDEPTH_WARP_BW", "dyn256")
+    rng = np.random.default_rng(33)
+    Hh, Ww = 32, 384
+    src = jnp.asarray(rng.uniform(size=(1, Hh, Ww, C)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(Hh), np.arange(Ww), indexing="ij")
+    dx = 173.0 + 19.0 * np.sin(ys / 7.0)    # way past the static domain
+    dy = 2.0 * np.cos(xs / 13.0) + 0.2
+    ix = np.clip(xs + dx, 0.3, Ww - 1.3)
+    iy = np.clip(ys + dy, 0.3, Hh - 1.3)
+    gx = (2 * ix + 1) / Ww - 1
+    gy = (2 * iy + 1) / Hh - 1
+    g = jnp.asarray(np.stack([gx, gy], -1)[None].astype(np.float32))
+
+    (o,) = warp_bilinear_banded([src], [(0, g)], interpret=True)
+    ref = grid_sample(src, g)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+
+    w = jnp.asarray(rng.normal(size=(1, Hh, Ww, C)).astype(np.float32))
+
+    def lp(gg):
+        (oo,) = warp_bilinear_banded([src], [(0, gg)], interpret=True)
+        return (oo * w).sum()
+
+    def lx(gg):
+        return (grid_sample(src, gg) * w).sum()
+
+    np.testing.assert_allclose(np.asarray(jax.grad(lp)(g)),
+                               np.asarray(jax.grad(lx)(g)),
+                               rtol=1e-3, atol=1e-3)
+
+    # negative-direction flow too (band start clips at 0)
+    dx2 = -150.0 - 9.0 * np.sin(ys / 5.0)
+    ix2 = np.clip(xs + dx2, 0.3, Ww - 1.3)
+    g2 = jnp.asarray(np.stack([(2 * ix2 + 1) / Ww - 1, gy],
+                              -1)[None].astype(np.float32))
+    (o2,) = warp_bilinear_banded([src], [(0, g2)], interpret=True)
+    np.testing.assert_allclose(np.asarray(o2),
+                               np.asarray(grid_sample(src, g2)), atol=2e-5)
+
+
 def test_bf16_source_tent_forward():
     """bf16 sources take the bf16 tent-construction path (_cx_tent builds
     the relu(1-|t|) chain in bf16 after an exact f32 subtract); the result
