@@ -211,7 +211,10 @@ class Config:
     # kernel, exact 7x7/2 rewrite) instead of reshaping after — removes
     # the conv-output {3,0,2,1} layout boundary under the fold reshape
     # (PERF.md HLO byte anatomy). Only active with fold64_encoder.
-    fold_stem: bool = False
+    # Default ON since round 4: measured v5e b12 net_grad 45.8 -> 38.9 ms,
+    # step 76.1 -> 68.8 ms (PERF.md round-4 anatomy); exactness pinned by
+    # tests/test_folded_encoder.py::test_fold_stem_grads_match_f64.
+    fold_stem: bool = True
     # Keep the encoder's C=64 pyramid levels (stem relu + layer1) in the
     # F=2 folded layout ACROSS the encoder->decoder seam: the folded
     # decoder consumes them directly (models/fusion.py wires

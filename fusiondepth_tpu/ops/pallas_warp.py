@@ -224,33 +224,39 @@ def _fwd_kernel(ix_ref, iy_ref, src_ref, out_ref, *, H, W, C, prec, mode):
     ids_i = jax.lax.broadcasted_iota(jnp.int32, (bw_all, LS), 0)
     ids = ids_i.astype(jnp.float32)
     kloc = _kloc_grid(C, LS)
+    dyn = _band(0, W)[0] is None
     for i in range(RT):
         yb, _, _ = _ywin(iy[i], H)
         yloc = jnp.clip(iy[i] - yb.astype(jnp.float32), 0.0, WR - 1.0)
-        win = src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W)
+        win = (None if dyn else
+               src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W))
         for s in range(n_strips):
             bs, bw, sw = _band(s, W)
             cols = slice(s * LS, s * LS + sw)
             if bs is None:
+                # dynamic band: 128-aligned lane start sliced straight
+                # from the ref (Pallas lowers dynamic ref slices; a
+                # dynamic_slice on a loaded VALUE does not lower)
                 bs = _dyn_bs(ix[i, cols], W, bw)
-                band = jax.lax.dynamic_slice_in_dim(win, bs, bw, axis=1)
+                band = src_ref[0, 0, :, pl.ds(yb, WR),
+                               pl.ds(bs, bw)].reshape(C * WR, bw)
             else:
                 band = win[:, bs:bs + bw]
             if mode == "pair":
                 O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw,
                                           ids_i[:bw, :sw])
                 A0 = jax.lax.dot_general(
-                    band, O0.astype(win.dtype), (((1,), (0,)), ((), ())),
+                    band, O0.astype(band.dtype), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec)
                 A1 = jax.lax.dot_general(
-                    band, O1.astype(win.dtype), (((1,), (0,)), ((), ())),
+                    band, O1.astype(band.dtype), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec)
                 Hrow = A0 + wx[None, :] * (A1 - A0)    # (C*WR, sw)
             else:
                 # weights in the source dtype: tent weights are exact at
                 # the two support columns, and bf16 wx only re-rounds what
                 # a bf16 MXU pass rounds anyway
-                Cx = _cx_tent(ix[i, cols], bs, bw, ids[:, :sw], win.dtype)
+                Cx = _cx_tent(ix[i, cols], bs, bw, ids[:, :sw], band.dtype)
                 Hrow = jax.lax.dot_general(
                     band, Cx, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -272,9 +278,11 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
     ids_i = jax.lax.broadcasted_iota(jnp.int32, (bw_all, LS), 0)
     rid = jax.lax.broadcasted_iota(jnp.int32, (C * WR, LS), 0)
     kloc_i = rid - (rid // WR) * WR
+    dyn = _band(0, W)[0] is None
     for i in range(RT):
         yb, ly, wy = _ywin(iy[i], H)
-        win = src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W)
+        win = (None if dyn else
+               src_ref[0, 0, :, pl.ds(yb, WR), :].reshape(C * WR, W))
         for s in range(n_strips):
             bs, bw, sw = _band(s, W)
             cols = slice(s * LS, s * LS + sw)
@@ -290,15 +298,16 @@ def _bwd_kernel(ix_ref, iy_ref, src_ref, g_ref, cix_ref, ciy_ref,
             # Hrow = A0 (1-wx) + A1 wx, dHrow/dix = A1 - A0
             if bs is None:
                 bs = _dyn_bs(ix[i, cols], W, bw)
-                band = jax.lax.dynamic_slice_in_dim(win, bs, bw, axis=1)
+                band = src_ref[0, 0, :, pl.ds(yb, WR),
+                               pl.ds(bs, bw)].reshape(C * WR, bw)
             else:
                 band = win[:, bs:bs + bw]
             O0, O1, wx = _xpair_strip(ix[i, cols], bs, bw, ids_i[:, :sw])
             A0 = jax.lax.dot_general(
-                band, O0.astype(win.dtype), (((1,), (0,)), ((), ())),
+                band, O0.astype(band.dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
             A1 = jax.lax.dot_general(
-                band, O1.astype(win.dtype), (((1,), (0,)), ((), ())),
+                band, O1.astype(band.dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
             Hrow = A0 + wx[None, :] * (A1 - A0)        # (C*WR, sw)
             Hder = A1 - A0

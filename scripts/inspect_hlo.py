@@ -1,7 +1,12 @@
 """Dump the optimized HLO of the conv-net fwd+bwd and summarize where the
-bytes/ops go: op-kind byte totals and the biggest single ops.
+bytes/ops go: op-kind byte totals, the biggest single ops, and a
+memory-space-aware HBM traffic audit (the fusion-aware byte account that
+XLA's cost_analysis "bytes accessed" is not: it separates real HBM
+reads/writes from the S(1) staging copies memory-space assignment emits,
+and skips pure aliases like bitcast/get-tuple-element/*-done).
 
 Usage: python scripts/inspect_hlo.py [--full path.txt]
+       python scripts/inspect_hlo.py --from-file saved_hlo.txt
 """
 
 import argparse
@@ -24,6 +29,31 @@ SHAPE_RE = re.compile(r"(f32|bf16|f16|s32|u32|s64|u8|s8|pred)\[([0-9,]*)\]")
 SHAPE_LAYOUT_RE = re.compile(
     r"(f32|bf16|f16|s32|u32|s64|u8|s8|pred)\[([0-9,]*)\]\{([0-9,]*)\}")
 
+# shape + FULL layout incl. tiling/space, e.g.
+#   bf16[24,48,80,128]{3,0,2,1:T(8,128)(2,1)S(1)}  /  u32[]{:S(2)}
+SHAPE_FULL_RE = re.compile(
+    r"(f32|bf16|f16|s32|u32|s64|u8|s8|pred)\[([0-9,]*)\]\{([^{}]*)\}")
+SPACE_RE = re.compile(r"S\((\d+)\)")
+
+# ops whose output aliases an operand (or is bookkeeping): no HBM traffic
+ALIAS_KINDS = {"bitcast", "get-tuple-element", "parameter", "tuple",
+               "constant", "after-all", "copy-done", "slice-done",
+               "async-done", "all-reduce-done", "custom-call-done",
+               "opt-barrier"}
+
+
+def parse_out_elems(out_part):
+    """Tuple elements of an op's output: [(bytes, space)]; space 0 = HBM."""
+    elems = []
+    for dt, dims, lay in SHAPE_FULL_RE.findall(out_part):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        m = SPACE_RE.search(lay)
+        elems.append((n * DT_BYTES[dt], int(m.group(1)) if m else 0))
+    return elems
+
 
 def shape_bytes(text):
     total = 0
@@ -43,7 +73,15 @@ def main():
                    choices=["net_grad", "step", "dec", "dec_grad"])
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="Config field overrides (same syntax as bench.py)")
+    p.add_argument("--from-file", default=None,
+                   help="analyze a previously dumped HLO text instead of "
+                        "compiling (no device needed)")
     args = p.parse_args()
+
+    if args.from_file:
+        txt = open(args.from_file).read()
+        summarize(txt, compiled=None)
+        return
 
     from fusiondepth_tpu.config import Config
     from fusiondepth_tpu.data.synthetic import make_batch
@@ -126,7 +164,10 @@ def main():
     if args.full:
         open(args.full, "w").write(txt)
         print(f"full HLO -> {args.full} ({len(txt)} chars)", file=sys.stderr)
+    summarize(txt, compiled)
 
+
+def summarize(txt, compiled=None):
     by_kind_bytes = defaultdict(int)
     by_kind_count = defaultdict(int)
     by_src_bytes = defaultdict(int)   # JAX-level origin (HLO metadata)
@@ -206,11 +247,116 @@ def main():
             parts = mm.group(1).split("/")
             tag = "  <- " + "/".join(parts[-3:])
         print(f"  {b/1e6:9.1f} MB {line.split(' metadata=')[0][:130]}{tag}")
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0] if ca else {}
-    print(f"== cost_analysis: flops={float(ca.get('flops', 0))/1e12:.3f}T "
-          f"bytes={float(ca.get('bytes accessed', 0))/1e9:.2f}GB")
+    audit_hbm(txt)
+    if compiled is not None:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        print(f"== cost_analysis: flops="
+              f"{float(ca.get('flops', 0))/1e12:.3f}T "
+              f"bytes={float(ca.get('bytes accessed', 0))/1e9:.2f}GB"
+              " (fusion-blind; the audit above is the honest figure)")
+
+
+def audit_hbm(txt, hbm_gbps=819.0):
+    """Memory-space-aware HBM traffic audit over the ENTRY computation.
+
+    Each entry op contributes:
+      - writes: output tuple elements in memory space 0 (HBM); for async
+        `*-start` wrappers the output tuple is ((aliased operands...),
+        dest, context) so only the dest element counts, in ITS space;
+      - reads: per operand, the full defining buffer's space-0 bytes
+        (fusion operands that MSA prefetched into S(1) are excluded here
+        and counted once at their copy/slice-start instead).
+    Aliasing kinds (bitcast/get-tuple-element/*-done/...) are free.
+    Approximations: an operand read through a `slice` inside a fusion is
+    charged at full size; while/scan bodies (non-entry) are not walked —
+    use on straight-line jits (net_grad, dec_grad).
+    """
+    name_re = re.compile(r"^(?:ROOT )?(%[\w.\-]+) = ")
+    kind_re = re.compile(r"\s([a-z][a-z0-9_\-]*)\(")
+    meta_re = re.compile(r'op_name="([^"]*)"')
+    defs = {}            # %name -> list of (bytes, space)
+    reads0 = writes0 = stage_w = 0
+    by_src = defaultdict(int)
+    by_kind = defaultdict(int)
+    in_entry = False
+    for line in txt.splitlines():
+        if line.startswith("ENTRY"):
+            in_entry = True
+            continue
+        if in_entry and line.startswith("}"):
+            in_entry = False
+        if not in_entry:
+            continue
+        line = line.strip()
+        nm = name_re.match(line)
+        if nm is None or " = " not in line:
+            continue
+        name = nm.group(1)
+        rhs = line.split(" = ", 1)[1]
+        km = kind_re.search(rhs)
+        if not km:
+            continue
+        kind = km.group(1)
+        elems = parse_out_elems(rhs[:km.start()])
+        defs[name] = elems
+        if kind in ALIAS_KINDS:
+            continue
+        # operands: %names inside the first balanced paren group
+        i = rhs.find("(", km.start())
+        depth, j = 0, i
+        while j < len(rhs):
+            depth += rhs[j] == "("
+            depth -= rhs[j] == ")"
+            j += 1
+            if depth == 0:
+                break
+        opnames = re.findall(r"%[\w.\-]+", rhs[i:j])
+        r = w = 0
+        if kind.endswith("-start") and len(elems) >= 2:
+            dest_bytes, dest_space = elems[-2]
+            src = defs.get(opnames[0] if opnames else "", [(0, 0)])
+            src_space = src[0][1] if src else 0
+            if src_space == 0:
+                r += dest_bytes
+            if dest_space == 0:
+                w += dest_bytes
+            else:
+                stage_w += dest_bytes
+        else:
+            for b, sp in elems:
+                if sp == 0:
+                    w += b
+                else:
+                    stage_w += b
+            for op in opnames:
+                for b, sp in defs.get(op, ()):
+                    if sp == 0:
+                        r += b
+        if r + w == 0:
+            continue
+        reads0 += r
+        writes0 += w
+        mm = meta_re.search(line)
+        src_tag = "<no-metadata>"
+        if mm:
+            parts = mm.group(1).split("/")
+            src_tag = "/".join(parts[-2:]) if len(parts) > 1 else parts[-1]
+        by_src[f"{kind:14s} {src_tag}"] += r + w
+        by_kind[kind] += r + w
+    tot = reads0 + writes0
+    print("== HBM traffic audit (memory-space-aware, aliases free):")
+    print(f"  reads {reads0/1e9:.2f} GB + writes {writes0/1e9:.2f} GB = "
+          f"{tot/1e9:.2f} GB -> {tot/hbm_gbps/1e6:.1f} ms at "
+          f"{hbm_gbps:.0f} GB/s   (S(1)/S(2) staging writes: "
+          f"{stage_w/1e9:.2f} GB, not HBM)")
+    print("== HBM GB by op kind (top 10):")
+    for k in sorted(by_kind, key=by_kind.get, reverse=True)[:10]:
+        print(f"  {by_kind[k]/1e9:8.2f} GB  {k}")
+    print("== HBM GB by (kind, jax op) (top 30):")
+    for k in sorted(by_src, key=by_src.get, reverse=True)[:30]:
+        print(f"  {by_src[k]/1e9:8.2f} GB  {k}")
 
 
 if __name__ == "__main__":
