@@ -397,6 +397,7 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 TRAIN_LADDER = [
     ("r4_default_b24", dict(batch_size=24)),  # defaults, headline batch
     ("r4_default_b12", dict()),               # defaults, trend batch
+    ("r4_foldconv_b24", dict(batch_size=24, _foldconv="1")),
     ("r4_warp_dyn256_b24", dict(batch_size=24, _warpbw="dyn256")),
     ("r4_warp_bw256_b24", dict(batch_size=24, _warpbw="256")),
     ("r4_no_seam_b12", dict(folded_seam=False)),  # seam A/B fallback
@@ -451,6 +452,8 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
         os.environ["FUSIONDEPTH_PALLAS_POOL"] = flags.pop("_pool", "1")
         os.environ["FUSIONDEPTH_FOLD_HALO"] = flags.pop("_halo", "0")
         os.environ["FUSIONDEPTH_WARP_BW"] = flags.pop("_warpbw", "384")
+        os.environ["FUSIONDEPTH_PALLAS_FOLDCONV"] = flags.pop(
+            "_foldconv", "0")
         try:
             r = bench_train(dict(base, **flags), metric, batch=12)[-1]
         except Exception as e:  # noqa: BLE001 - rung must not kill the run
@@ -462,6 +465,7 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
             os.environ.pop("FUSIONDEPTH_PALLAS_POOL", None)
             os.environ.pop("FUSIONDEPTH_FOLD_HALO", None)
             os.environ.pop("FUSIONDEPTH_WARP_BW", None)
+            os.environ.pop("FUSIONDEPTH_PALLAS_FOLDCONV", None)
         ladder[name] = {"value": r["value"], "step_ms": r["step_ms"]}
         print(f"ladder rung {name}: {r['value']} samples/s", file=sys.stderr)
         known = BEST_KNOWN_STEP_MS.get(name)

@@ -36,6 +36,7 @@ from fusiondepth_tpu.ops.folded import (
     unfold,
     upsample2x_folded,
 )
+from fusiondepth_tpu.ops import pallas_fold_conv
 from fusiondepth_tpu.ops.padding import reflect_pad_hw
 from fusiondepth_tpu.ops.resize import upsample2x_nearest
 
@@ -74,6 +75,17 @@ class ConvBlock(nn.Module):
                         dtype=self.dtype, name="conv")(x)
             return nn.elu(x)
         kernel, bias = _RawConv(self.features, sum(in_ch), name="conv")()
+        m = pallas_fold_conv.mode()
+        if m != "0" and pallas_fold_conv.eligible(
+                folded_inputs[0].shape, fold_F):
+            splits = []
+            o = 0
+            for c in in_ch:
+                splits.append(kernel[:, :, o:o + c])
+                o += c
+            return pallas_fold_conv.fold_conv3x3_pallas(
+                tuple(folded_inputs), tuple(splits), bias, fold_F,
+                tuple(in_ch), True, m == "interpret")
         splits = []
         o = 0
         for c in in_ch:
@@ -97,6 +109,17 @@ class Conv3x3(nn.Module):
             return nn.Conv(self.features, (3, 3), padding="VALID",
                            dtype=self.dtype, name="conv")(x)
         kernel, bias = _RawConv(self.features, sum(in_ch), name="conv")()
+        m = pallas_fold_conv.mode()
+        if m != "0" and pallas_fold_conv.eligible(
+                folded_inputs[0].shape, fold_F):
+            splits = []
+            o = 0
+            for c in in_ch:
+                splits.append(kernel[:, :, o:o + c])
+                o += c
+            return pallas_fold_conv.fold_conv3x3_pallas(
+                tuple(folded_inputs), tuple(splits), bias, fold_F,
+                tuple(in_ch), False, m == "interpret")
         splits = []
         o = 0
         for c in in_ch:

@@ -1,0 +1,377 @@
+"""Fused Pallas TPU kernels for the W-folded reflect-pad 3x3 conv.
+
+Why: the decoder's folded convs are exact and lane-dense (ops/folded.py)
+but the XLA lowering EXPLODES into ops — conv + 4 border-correction convs
++ 2 scatter-adds forward, ~5x that backward — and the round-4 HLO audit
+(PERF.md) showed the train step is op-granularity/latency-bound, not
+HBM-bound: the folded decoder alone is ~1,230 scheduled entry ops plus
+their S(1) staging copies. This module collapses each ConvBlock
+(reference layers.py:100-130: ReflectionPad2d + Conv2d 3x3 + ELU) into
+ONE Pallas kernel forward and two backward (input-grad reuses the
+forward kernel with the flipped/transposed weights; weight-grad is a
+grid-accumulated kernel), with only cheap glue left in XLA.
+
+Formulation: the HALO layout of ops/folded.py (halo_kernel3x3) — the 3 W
+taps of every output fold slot live in the CHANNEL dim of a
+(B, H+2, Wf, (F+2)*C) halo tensor, so the kernel's W extent is 1:
+in-kernel work is 3 row-sliced matmuls per input with NO W shifts
+(Mosaic-friendly: leading-dim slices are full-tile address offsets) and
+(F+2)/3 MAC inflation instead of the band kernel's F. The halo build and
+the H-overlap window stacking stay in XLA (single fusions); bias, ELU
+and the whole tap contraction are in-kernel.
+
+Reflect-pad transpose in halo form is cheap: the pad is 1 ORIGINAL pixel,
+so the backward needs the zero-pad correlation (the same kernel, flipped
+weights) plus per-side single-column/row corrections done in XLA.
+
+Exactness: the halo formulation is the same multiply-add set as the band
+formulation (tests/test_folded.py::test_conv3x3_halo_grads_match_band);
+this module is tested against conv3x3_folded fwd+grads in
+tests/test_pallas_fold_conv.py.
+
+Eligibility (the dispatcher falls back to the XLA path otherwise):
+Wf % 8 == 0 — the (TH, Wf) -> (TH*Wf, ·) merges must be free shape casts.
+Everything in the flagship decoder except the 6x20x512 stage qualifies.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fusiondepth_tpu.ops.folded import halo_kernel3x3
+
+
+# ---------------------------------------------------------------- helpers
+
+def mode() -> str:
+    """Trace-time gate (bench-ladder A/B): '0' off, '1' on, 'interpret'
+    on in Pallas interpret mode (CPU tests)."""
+    import os
+    return os.environ.get("FUSIONDEPTH_PALLAS_FOLDCONV", "0")
+
+
+def eligible(xf_shape, F: int) -> bool:
+    """Pallas path requires Wf % 8 == 0 (free (TH, Wf)->(TH*Wf) merge)."""
+    _, H, Wf, _ = xf_shape
+    return Wf % 8 == 0 and H >= 4
+
+
+def _tile(H_out: int):
+    """(TH, nT, pad): output-row tiling. Prefers an exact divisor <= 50;
+    otherwise the TH <= 50 minimizing zero-row padding (dgrad's H+2 can be
+    2*97 etc.)."""
+    if H_out <= 50:
+        return H_out, 1, 0
+    best = None
+    for t in range(50, 7, -1):
+        pad = (-H_out) % t
+        if best is None or pad < best[2] or (pad == best[2] and t > best[0]):
+            best = (t, (H_out + pad) // t, pad)
+        if pad == 0 and t >= 24:
+            return best
+    return best
+
+
+def _stack_windows(x, TH: int, nT: int):
+    """(B, >= nT*TH + 2, Wf, C) -> (B, nT, TH+2, Wf, C): overlapping H
+    windows (stride TH, 2 halo rows), zero-extended if short. One XLA
+    fusion; ~2/TH duplication."""
+    B, Hp, Wf, C = x.shape
+    need = nT * TH + 2
+    if Hp < need:
+        x = jnp.concatenate(
+            [x, jnp.zeros((B, need - Hp, Wf, C), x.dtype)], axis=1)
+    return jnp.stack([x[:, k * TH:k * TH + TH + 2] for k in range(nT)],
+                     axis=1)
+
+
+def _halo_w(xf, F: int, C: int):
+    """W-halo channels (no H pad): (B, H, Wf, F*C) -> (B, H, Wf, (F+2)*C)
+    with REFLECT borders (edge excluded, torch ReflectionPad2d semantics —
+    reference layers.py:100-130). Slot 0 of folded col j = original col
+    F*j - 1; slot F+1 = original col F*(j+1)."""
+    if F == 1:
+        lh = jnp.concatenate([xf[:, :, 1:2], xf[:, :, :-1]], axis=2)
+        rh = jnp.concatenate([xf[:, :, 1:], xf[:, :, -2:-1]], axis=2)
+        return jnp.concatenate([lh, xf, rh], axis=-1)
+    last = xf[..., (F - 1) * C:]
+    first = xf[..., :C]
+    lh = jnp.concatenate([xf[:, :, :1, C:2 * C], last[:, :, :-1]], axis=2)
+    rh = jnp.concatenate(
+        [first[:, :, 1:], xf[:, :, -1:, (F - 2) * C:(F - 1) * C]], axis=2)
+    return jnp.concatenate([lh, xf, rh], axis=-1)
+
+
+def _halo_w_zero(gf, F: int, C: int):
+    """W-halo channels with ZERO borders (input-grad correlation: the
+    cotangent is zero outside the image)."""
+    B, H, Wf, FC = gf.shape
+    z = jnp.zeros((B, H, 1, C), gf.dtype)
+    if F == 1:
+        lh = jnp.concatenate([z, gf[:, :, :-1]], axis=2)
+        rh = jnp.concatenate([gf[:, :, 1:], z], axis=2)
+        return jnp.concatenate([lh, gf, rh], axis=-1)
+    last = gf[..., (F - 1) * C:]
+    first = gf[..., :C]
+    lh = jnp.concatenate([z, last[:, :, :-1]], axis=2)
+    rh = jnp.concatenate([first[:, :, 1:], z], axis=2)
+    return jnp.concatenate([lh, gf, rh], axis=-1)
+
+
+def _reflect_h(xh):
+    """H reflect pad by 1 row (edge excluded)."""
+    return jnp.concatenate([xh[:, 1:2], xh, xh[:, -2:-1]], axis=1)
+
+
+def _flip_swap(w):
+    """(3, 3, Ci, Co) -> (3, 3, Co, Ci): the input-grad base kernel
+    (spatial flip + channel transpose; the fold commutes with it)."""
+    return jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+
+
+def _halo_weights(w, F: int, dtype):
+    """(3, 3, Ci, Co) -> (3, (F+2)*Ci, F*Co) halo-form weights."""
+    wh = halo_kernel3x3(w, F)           # (3, 1, (F+2)Ci, F*Co)
+    return wh.reshape(wh.shape[0], wh.shape[2], wh.shape[3]).astype(dtype)
+
+
+def _halo_indicator(F: int):
+    """The 0/1 map of halo_kernel3x3 (ops/folded.py:127-143), used to
+    project the halo-form weight grad back to the (3, 3, Ci, Co) base."""
+    ind = np.zeros((3, F + 2, F), np.float32)
+    for po in range(F):
+        for dx in (-1, 0, 1):
+            ind[dx + 1, po + 1 + dx, po] = 1.0
+    return jnp.asarray(ind)
+
+
+# ---------------------------------------------------------------- kernels
+
+def _conv_kernel(*refs, n_in, TH, Wf, FCo, elu, out_dtype):
+    """One (b, t) block: out[th, wf, :] = sum_i sum_ky
+    x_i[th+ky, wf, :] @ w_i[ky] (+ bias, ELU). x blocks carry 2 halo rows."""
+    xs = refs[:n_in]
+    ws = refs[n_in:2 * n_in]
+    b_ref = refs[2 * n_in]
+    o_ref = refs[2 * n_in + 1]
+    acc = None
+    for i in range(n_in):
+        HC = xs[i].shape[-1]
+        for ky in range(3):
+            xk = xs[i][0, 0, ky:ky + TH].reshape(TH * Wf, HC)
+            d = jax.lax.dot_general(
+                xk, ws[i][ky], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    y = acc + b_ref[0].astype(jnp.float32)[None, :]
+    if elu:
+        y = jnp.where(y > 0, y, jnp.expm1(y))
+    o_ref[0, 0] = y.reshape(TH, Wf, FCo).astype(out_dtype)
+
+
+def _wgrad_kernel(x_ref, g_ref, o_ref, *, TH, Wf):
+    """Accumulate dW_halo[ky] += x[th+ky]^T @ g over the (B, nT) grid.
+    Output block (3, HC, FCo) f32, constant index (TPU grids run
+    sequentially, so read-modify-write accumulation is safe)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    HC = x_ref.shape[-1]
+    FCo = g_ref.shape[-1]
+    g = g_ref[0, 0].reshape(TH * Wf, FCo)
+
+    @pl.when(jnp.logical_and(b == 0, t == 0))
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    for ky in range(3):
+        xk = x_ref[0, 0, ky:ky + TH].reshape(TH * Wf, HC)
+        d = jax.lax.dot_general(xk, g, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[ky] += d
+
+
+def _run_conv(halos, whs, bias_f, *, H_out, Wf, FCo, elu, out_dtype,
+              interpret):
+    """Drive _conv_kernel: halos are H-padded (>= H_out+2 rows) halo
+    tensors; returns (B, H_out, Wf, FCo) in out_dtype."""
+    B = halos[0].shape[0]
+    TH, nT, _ = _tile(H_out)
+    stacks = [_stack_windows(h, TH, nT) for h in halos]
+    in_specs = []
+    for h in stacks:
+        HC = h.shape[-1]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, TH + 2, Wf, HC),
+            lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM))
+    for w in whs:
+        in_specs.append(pl.BlockSpec(
+            w.shape, lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, FCo), lambda b, t: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, 1, TH, Wf, FCo),
+                            lambda b, t: (b, t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_conv_kernel, n_in=len(halos), TH=TH, Wf=Wf, FCo=FCo,
+                elu=elu, out_dtype=out_dtype),
+        grid=(B, nT),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nT, TH, Wf, FCo), out_dtype),
+        interpret=interpret,
+    )(*stacks, *whs, bias_f)
+    return out.reshape(B, nT * TH, Wf, FCo)[:, :H_out]
+
+
+def _run_wgrad(halo, gp, *, H, Wf, interpret):
+    """dW in halo form: (3, HC, FCo) f32. halo has H+2 rows, gp has H."""
+    B = halo.shape[0]
+    HC = halo.shape[-1]
+    FCo = gp.shape[-1]
+    TH, nT, pad = _tile(H)
+    xs = _stack_windows(halo, TH, nT)
+    if pad:
+        gp = jnp.concatenate(
+            [gp, jnp.zeros((B, pad, Wf, FCo), gp.dtype)], axis=1)
+    gs = gp.reshape(B, nT, TH, Wf, FCo)
+    return pl.pallas_call(
+        partial(_wgrad_kernel, TH=TH, Wf=Wf),
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, 1, TH + 2, Wf, HC),
+                         lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, Wf, FCo),
+                         lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, HC, FCo), lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, HC, FCo), jnp.float32),
+        interpret=interpret,
+    )(xs, gs)
+
+
+# ------------------------------------------------------------- public op
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fold_conv3x3_pallas(inputs, kernels, bias, F, Cis, elu, interpret):
+    """Reflect-pad 3x3 conv over the virtual concat of folded `inputs`
+    (+ bias, + ELU when `elu`), as fused Pallas kernels.
+
+    inputs: tuple of (B, H, Wf, F*Ci) folded tensors; kernels: matching
+    tuple of (3, 3, Ci, Co) base weights; bias (Co,); Cis: static tuple
+    of the original Ci. Returns (B, H, Wf, F*Co) in the input dtype.
+    Same multiply-add set as conv3x3_folded(..., halo=True); semantics =
+    reference layers.py ConvBlock/Conv3x3.
+    """
+    y, _ = _fwd(inputs, kernels, bias, F, Cis, elu, interpret)
+    return y
+
+
+def _fwd(inputs, kernels, bias, F, Cis, elu, interpret):
+    x0 = inputs[0]
+    B, H, Wf, _ = x0.shape
+    dt = x0.dtype
+    Co = kernels[0].shape[-1]
+    FCo = F * Co
+    halos = [_reflect_h(_halo_w(x, F, Ci)) for x, Ci in zip(inputs, Cis)]
+    whs = [_halo_weights(w, F, dt) for w in kernels]
+    bias_f = jnp.tile(bias, F).astype(jnp.float32).reshape(1, FCo)
+    y = _run_conv(halos, whs, bias_f, H_out=H, Wf=Wf, FCo=FCo, elu=elu,
+                  out_dtype=dt, interpret=interpret)
+    return y, (inputs, kernels, y if elu else None)
+
+
+def _bwd(F, Cis, elu, interpret, res, g):
+    """Padded-domain decomposition: fwd = Conv_valid(P(x)) with P the
+    reflect pad, so dx = P^T(dXP). dXP over the interior columns is the
+    zero-pad correlation with the flipped/transposed kernel (the SAME
+    Pallas kernel); its two W-pad columns are single-original-column
+    einsums in XLA; P^T then adds pad rows/cols to rows 1/H-2 and
+    original columns 1/W-2."""
+    inputs, kernels, y = res
+    x0 = inputs[0]
+    B, H, Wf, _ = x0.shape
+    dt = x0.dtype
+    Co = kernels[0].shape[-1]
+    FCo = F * Co
+    g = g.astype(jnp.float32)
+    if elu:
+        yf = y.astype(jnp.float32)
+        g = g * jnp.where(yf > 0, 1.0, yf + 1.0)
+    gp = g.astype(dt)
+
+    # dXP rows r in -1..H need gp rows r-1..r+1 -> pad gp by 2 each side
+    z2 = jnp.zeros((B, 2, Wf, FCo), dt)
+    gp_rows = jnp.concatenate([z2, gp, z2], axis=1)       # (B, H+4, Wf, FCo)
+    gph = _halo_w_zero(gp_rows, F, Co)
+    W = Wf * F
+    dxs = []
+    for w, Ci in zip(kernels, Cis):
+        whT = _halo_weights(_flip_swap(w), F, dt)
+        dxp = _run_conv([gph], [whT], jnp.zeros((1, F * Ci), jnp.float32),
+                        H_out=H + 2, Wf=Wf, FCo=F * Ci, elu=False,
+                        out_dtype=jnp.float32, interpret=interpret)
+        # rows of dxp are padded rows -1..H: collapse the H reflect
+        dx = dxp[:, 1:H + 1]
+        dx = dx.at[:, 1].add(dxp[:, 0])
+        dx = dx.at[:, H - 2].add(dxp[:, H + 1])
+        # W-pad columns: dXP[., -1] = sum_ky w[ky,0]^T gp[.+1-ky, col 0];
+        # dXP[., W] = sum_ky w[ky,2]^T gp[.+1-ky, col W-1]. Original col 0
+        # is slot 0 of folded col 0; col W-1 is slot F-1 of folded Wf-1.
+        gcl = gp_rows[:, :, 0, :Co].astype(jnp.float32)        # (B, H+4, Co)
+        gcr = gp_rows[:, :, Wf - 1, (F - 1) * Co:].astype(jnp.float32)
+        wf32 = w.astype(jnp.float32)
+        dpl = sum(jnp.einsum("bhc,dc->bhd", gcl[:, 2 - ky:2 - ky + H + 2],
+                             wf32[ky, 0]) for ky in range(3))
+        dpr = sum(jnp.einsum("bhc,dc->bhd", gcr[:, 2 - ky:2 - ky + H + 2],
+                             wf32[ky, 2]) for ky in range(3))
+        # their rows are padded rows -1..H too: collapse H reflect, then
+        # scatter: pad col -1 reflects to original col 1, pad col W to W-2
+        dpl = dpl[:, 1:H + 1].at[:, 1].add(dpl[:, 0]).at[:, H - 2].add(
+            dpl[:, H + 1])
+        dpr = dpr[:, 1:H + 1].at[:, 1].add(dpr[:, 0]).at[:, H - 2].add(
+            dpr[:, H + 1])
+        u = dx.reshape(B, H, W, Ci)
+        u = u.at[:, :, 1].add(dpl)
+        u = u.at[:, :, W - 2].add(dpr)
+        dxs.append(u.reshape(B, H, Wf, F * Ci).astype(x0.dtype))
+
+    # weight grads: halo-form Pallas accumulation + base projection
+    ind = _halo_indicator(F)
+    dws = []
+    for x, w, Ci in zip(inputs, kernels, Cis):
+        halo = _reflect_h(_halo_w(x, F, Ci))
+        dwh = _run_wgrad(halo, gp, H=H, Wf=Wf, interpret=interpret)
+        dwh = dwh.reshape(3, F + 2, Ci, F, Co)
+        dw = jnp.einsum("yscqb,dsq->ydcb", dwh, ind)
+        dws.append(dw.astype(w.dtype))
+
+    db = g.sum(axis=(0, 1, 2)).reshape(F, Co).sum(0).astype(jnp.float32)
+    return tuple(dxs), tuple(dws), db
+
+
+fold_conv3x3_pallas.defvjp(_fwd, _bwd)
+
+
+def analytic_costs(B, H, Wf, F, Cis, Co, dtype_bytes=2):
+    """(flops, hbm_bytes) per fwd+bwd call, for bench_anatomy --costs."""
+    HC = sum((F + 2) * Ci for Ci in Cis)
+    FCo = F * Co
+    m = B * H * Wf
+    fwd = 2 * m * HC * FCo
+    dgrad = 2 * B * (H + 2) * Wf * (F + 2) * FCo * sum(
+        F * Ci for Ci in Cis) // max(FCo, 1)
+    wgrad = fwd
+    flops = fwd + dgrad + wgrad
+    bts = dtype_bytes * m * (2 * HC + 3 * FCo + 2 * sum(
+        F * Ci for Ci in Cis))
+    return flops, bts

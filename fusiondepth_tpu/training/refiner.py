@@ -88,6 +88,10 @@ class RefinerNets:
             catxy=cfg.catxy,
             deep=cfg.refine2d_deep,
             tanh_head=cfg.refine_offset,
+            # the stage-1 encoder hands levels 0-1 over folded when the
+            # seam is on (models/fusion.py seam_fold); the generic road
+            # path unfolds them at entry when told the fold factor
+            skip_fold=self.stage1.seam_fold,
             dtype=_dtype(cfg),
         )
 
