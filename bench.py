@@ -398,8 +398,7 @@ TRAIN_LADDER = [
     ("r4_default_b24", dict(batch_size=24)),  # defaults, headline batch
     ("r4_default_b12", dict()),               # defaults, trend batch
     ("r4_foldconv_b24", dict(batch_size=24, _foldconv="1")),
-    ("r4_warp_dyn256_b24", dict(batch_size=24, _warpbw="dyn256")),
-    ("r4_warp_bw256_b24", dict(batch_size=24, _warpbw="256")),
+    ("r4_warp_bw384_b24", dict(batch_size=24, _warpbw="384")),  # r3 band
     ("r4_no_seam_b12", dict(folded_seam=False)),  # seam A/B fallback
     ("r4_no_fold64_b12", dict(fold64_encoder=False)),  # pre-fold fallback
     ("r4_reproj_b12", dict(pallas_reproj=True)),
@@ -419,8 +418,8 @@ LADDER_BUDGET_S = float(__import__("os").environ.get(
 # is flagged loudly in the JSON and on stderr so round-over-round perf can't
 # silently slip while kernels churn (VERDICT r3 item 8).
 BEST_KNOWN_STEP_MS = {
-    "r4_default_b24": 141.26,   # BENCH_r03 r3_fold64_b24
-    "r4_default_b12": 78.3,     # PERF.md fold64 full step b12
+    "r4_default_b24": 141.26,   # BENCH_r03 r3_fold64_b24 (pre-r4 kernels)
+    "r4_default_b12": 64.28,    # PERF.md r4: fold_stem + seam + dyn256
 }
 REGRESSION_TOL = 1.10
 
@@ -451,7 +450,7 @@ def bench_train_ladder(base, explicit: bool, on_tpu: bool):
         flags = dict(flags)
         os.environ["FUSIONDEPTH_PALLAS_POOL"] = flags.pop("_pool", "1")
         os.environ["FUSIONDEPTH_FOLD_HALO"] = flags.pop("_halo", "0")
-        os.environ["FUSIONDEPTH_WARP_BW"] = flags.pop("_warpbw", "384")
+        os.environ["FUSIONDEPTH_WARP_BW"] = flags.pop("_warpbw", "dyn256")
         os.environ["FUSIONDEPTH_PALLAS_FOLDCONV"] = flags.pop(
             "_foldconv", "0")
         try:

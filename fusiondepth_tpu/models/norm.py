@@ -45,7 +45,12 @@ class BatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_affine: bool = False):
+        """return_affine=True: compute the statistics from x (and update
+        running stats) but return the per-lane affine pair (A, Bc) instead
+        of normalizing — the caller fuses `x*A+Bc` into an adjacent kernel
+        (ops/pallas_fold_conv.py encoder path). Identical parameters,
+        collections and statistics either way."""
         feat = x.shape[-1] // self.pack
         scale = self.param("scale", nn.initializers.ones, (feat,),
                            jnp.float32)
@@ -84,4 +89,6 @@ class BatchNorm(nn.Module):
         if self.pack > 1:
             A = jnp.tile(A, self.pack)
             Bc = jnp.tile(Bc, self.pack)
+        if return_affine:
+            return A, Bc
         return x.astype(self.dtype) * A + Bc

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fusiondepth_tpu.models.norm import BatchNorm
+from fusiondepth_tpu.ops import pallas_fold_conv
 
 RESNET_STAGES = {
     18: (2, 2, 2, 2),
@@ -182,6 +183,21 @@ class _FoldConv3x3(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class _RawKernel3x3(nn.Module):
+    """Parameter-compatible stand-in for _FoldConv3x3 (same param
+    name/shape/init) used by the fused Pallas encoder path, which applies
+    the weights itself (ops/pallas_fold_conv.fold_conv3x3_zero_pallas)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, self.in_features, self.features),
+                          jnp.float32)
+
+
 class _FoldBridgeConv3x3(nn.Module):
     """3x3 stride-(2,2) conv CONSUMING a W-folded (F=2) input — the
     layer2 downsample entry. Original out col b taps orig cols
@@ -290,6 +306,24 @@ class _BasicBlock(nn.Module):
             norm = lambda name: BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 pack=2, dtype=self.dtype, name=name)
+            menc = pallas_fold_conv.mode_enc()
+            if menc != "0" and pallas_fold_conv.eligible_enc(x.shape, 2):
+                # fused Pallas path: conv1 raw, then bn1's affine + relu
+                # fused INTO conv2's input side (the activated tensor
+                # never hits HBM); bn2 affine + residual + relu is one
+                # XLA elementwise fusion. Identical params/stats/math.
+                itp = menc == "interpret"
+                feat = self.features
+                w1 = _RawKernel3x3(feat, feat, name="conv1")()
+                w2 = _RawKernel3x3(feat, feat, name="conv2")()
+                dummy = jnp.ones((2 * feat,), self.dtype)
+                c1 = pallas_fold_conv.fold_conv3x3_zero_pallas(
+                    x, w1, dummy, dummy, 2, feat, False, itp)
+                a1, b1 = norm("bn1")(c1, return_affine=True)
+                c2 = pallas_fold_conv.fold_conv3x3_zero_pallas(
+                    c1, w2, a1, b1, 2, feat, True, itp)
+                a2, b2 = norm("bn2")(c2, return_affine=True)
+                return nn.relu(c2 * a2 + b2 + x)
             y = _FoldConv3x3(self.features, self.features,
                              dtype=self.dtype, name="conv1")(x)
             y = nn.relu(norm("bn1")(y))

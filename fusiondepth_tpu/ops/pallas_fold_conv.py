@@ -57,10 +57,25 @@ def mode() -> str:
     return os.environ.get("FUSIONDEPTH_PALLAS_FOLDCONV", "0")
 
 
+def mode_enc() -> str:
+    """Same gate for the encoder basic-block path (zero-pad + fused
+    BN-affine/ReLU input transform)."""
+    import os
+    return os.environ.get("FUSIONDEPTH_PALLAS_ENCCONV", "0")
+
+
 def eligible(xf_shape, F: int) -> bool:
     """Pallas path requires Wf % 8 == 0 (free (TH, Wf)->(TH*Wf) merge)."""
     _, H, Wf, _ = xf_shape
     return Wf % 8 == 0 and H >= 4
+
+
+def eligible_enc(xf_shape, F: int) -> bool:
+    """The fused-act encoder path additionally requires an exact H tiling
+    (its structural-zero masks only cover the first/last pad rows, not
+    _stack_windows' zero extension)."""
+    _, H, Wf, _ = xf_shape
+    return eligible(xf_shape, F) and _tile(H)[2] == 0
 
 
 def _tile(H_out: int):
@@ -154,32 +169,86 @@ def _halo_indicator(F: int):
 
 # ---------------------------------------------------------------- kernels
 
-def _conv_kernel(*refs, n_in, TH, Wf, FCo, elu, out_dtype):
+def _act_masks(TH, Wf, HC, Ci, F):
+    """Boolean masks over a (TH*Wf, HC) ky-slice marking positions whose
+    PRE-activation value is a structural zero (halo borders / H pad rows)
+    and must stay zero after the fused relu(x*s+b): the W border slots
+    (folded col 0 slot 0, col Wf-1 slot F+1) and the first/last slice
+    rows (only applied when the slice actually covers a pad row)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TH * Wf, HC), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (TH * Wf, HC), 1)
+    col = rows - (rows // Wf) * Wf
+    border = jnp.logical_or(
+        jnp.logical_and(col == 0, lanes < Ci),
+        jnp.logical_and(col == Wf - 1, lanes >= (F + 1) * Ci))
+    row0 = rows < Wf
+    rowl = rows >= (TH - 1) * Wf
+    return border, row0, rowl
+
+
+def _conv_kernel(*refs, n_in, TH, Wf, FCo, elu, out_dtype, act=False,
+                 act_F=0, use_bias=True):
     """One (b, t) block: out[th, wf, :] = sum_i sum_ky
-    x_i[th+ky, wf, :] @ w_i[ky] (+ bias, ELU). x blocks carry 2 halo rows."""
+    act(x_i[th+ky, wf, :]) @ w_i[ky] (+ bias, ELU). x blocks carry 2 halo
+    rows. With `act`, two extra (1, HC) refs (s, b) precede the output and
+    the input transform relu(x*s + b) — a BN affine + ReLU — runs on the
+    fly in VMEM (the activated tensor never exists in HBM)."""
     xs = refs[:n_in]
     ws = refs[n_in:2 * n_in]
-    b_ref = refs[2 * n_in]
-    o_ref = refs[2 * n_in + 1]
+    k = 2 * n_in
+    b_ref = refs[k] if use_bias else None
+    k += use_bias
+    s_ref = t_ref = None
+    if act:
+        s_ref, t_ref = refs[k], refs[k + 1]
+        k += 2
+    o_ref = refs[k]
     acc = None
     for i in range(n_in):
         HC = xs[i].shape[-1]
+        if act:
+            Ci = HC // (act_F + 2)
+            border, row0, rowl = _act_masks(TH, Wf, HC, Ci, act_F)
+            first = pl.program_id(1) == 0
+            last = pl.program_id(1) == pl.num_programs(1) - 1
         for ky in range(3):
             xk = xs[i][0, 0, ky:ky + TH].reshape(TH * Wf, HC)
+            if act:
+                xk = jnp.maximum(xk * s_ref[0][None, :] + t_ref[0][None, :],
+                                 jnp.zeros((), xk.dtype))
+                # the zero halo borders must STAY zero after the affine
+                # (the oracle pads the ACTIVATED tensor): re-zero the W
+                # border slots, and the H pad rows where this ky slice
+                # touches them (global row -1 in tile 0 / row H in the
+                # last tile)
+                dead = border
+                if ky == 0:
+                    dead = jnp.logical_or(dead, jnp.logical_and(row0, first))
+                if ky == 2:
+                    dead = jnp.logical_or(dead, jnp.logical_and(rowl, last))
+                xk = jnp.where(dead, jnp.zeros((), xk.dtype), xk)
             d = jax.lax.dot_general(
                 xk, ws[i][ky], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d
-    y = acc + b_ref[0].astype(jnp.float32)[None, :]
+    y = acc
+    if use_bias:
+        y = y + b_ref[0].astype(jnp.float32)[None, :]
     if elu:
         y = jnp.where(y > 0, y, jnp.expm1(y))
     o_ref[0, 0] = y.reshape(TH, Wf, FCo).astype(out_dtype)
 
 
-def _wgrad_kernel(x_ref, g_ref, o_ref, *, TH, Wf):
-    """Accumulate dW_halo[ky] += x[th+ky]^T @ g over the (B, nT) grid.
-    Output block (3, HC, FCo) f32, constant index (TPU grids run
-    sequentially, so read-modify-write accumulation is safe)."""
+def _wgrad_kernel(*refs, TH, Wf, act=False, act_F=0):
+    """Accumulate dW_halo[ky] += act(x[th+ky])^T @ g over the (B, nT)
+    grid. Output block (3, HC, FCo) f32, constant index (TPU grids run
+    sequentially, so read-modify-write accumulation is safe). With `act`,
+    the input transform relu(x*s + b) is recomputed on the fly."""
+    x_ref, g_ref = refs[0], refs[1]
+    s_ref = t_ref = None
+    if act:
+        s_ref, t_ref = refs[2], refs[3]
+    o_ref = refs[-1]
     b = pl.program_id(0)
     t = pl.program_id(1)
     HC = x_ref.shape[-1]
@@ -190,20 +259,36 @@ def _wgrad_kernel(x_ref, g_ref, o_ref, *, TH, Wf):
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
+    if act:
+        Ci = HC // (act_F + 2)
+        border, row0, rowl = _act_masks(TH, Wf, HC, Ci, act_F)
+        first = t == 0
+        last = t == pl.num_programs(1) - 1
     for ky in range(3):
         xk = x_ref[0, 0, ky:ky + TH].reshape(TH * Wf, HC)
+        if act:
+            xk = jnp.maximum(xk * s_ref[0][None, :] + t_ref[0][None, :],
+                             jnp.zeros((), xk.dtype))
+            dead = border
+            if ky == 0:
+                dead = jnp.logical_or(dead, jnp.logical_and(row0, first))
+            if ky == 2:
+                dead = jnp.logical_or(dead, jnp.logical_and(rowl, last))
+            xk = jnp.where(dead, jnp.zeros((), xk.dtype), xk)
         d = jax.lax.dot_general(xk, g, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         o_ref[ky] += d
 
 
 def _run_conv(halos, whs, bias_f, *, H_out, Wf, FCo, elu, out_dtype,
-              interpret):
+              interpret, act_sb=None, act_F=0):
     """Drive _conv_kernel: halos are H-padded (>= H_out+2 rows) halo
-    tensors; returns (B, H_out, Wf, FCo) in out_dtype."""
+    tensors; returns (B, H_out, Wf, FCo) in out_dtype. act_sb: optional
+    ((1, HC) scale, (1, HC) bias) fused input transform relu(x*s+b)."""
     B = halos[0].shape[0]
     TH, nT, _ = _tile(H_out)
     stacks = [_stack_windows(h, TH, nT) for h in halos]
+    operands = list(stacks) + list(whs)
     in_specs = []
     for h in stacks:
         HC = h.shape[-1]
@@ -213,25 +298,36 @@ def _run_conv(halos, whs, bias_f, *, H_out, Wf, FCo, elu, out_dtype,
     for w in whs:
         in_specs.append(pl.BlockSpec(
             w.shape, lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((1, FCo), lambda b, t: (0, 0),
-                                 memory_space=pltpu.VMEM))
+    use_bias = bias_f is not None
+    if use_bias:
+        in_specs.append(pl.BlockSpec((1, FCo), lambda b, t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias_f)
+    if act_sb is not None:
+        for v in act_sb:
+            in_specs.append(pl.BlockSpec(v.shape, lambda b, t: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(v)
     out_spec = pl.BlockSpec((1, 1, TH, Wf, FCo),
                             lambda b, t: (b, t, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         partial(_conv_kernel, n_in=len(halos), TH=TH, Wf=Wf, FCo=FCo,
-                elu=elu, out_dtype=out_dtype),
+                elu=elu, out_dtype=out_dtype, act=act_sb is not None,
+                act_F=act_F, use_bias=use_bias),
         grid=(B, nT),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, nT, TH, Wf, FCo), out_dtype),
         interpret=interpret,
-    )(*stacks, *whs, bias_f)
+    )(*operands)
     return out.reshape(B, nT * TH, Wf, FCo)[:, :H_out]
 
 
-def _run_wgrad(halo, gp, *, H, Wf, interpret):
-    """dW in halo form: (3, HC, FCo) f32. halo has H+2 rows, gp has H."""
+def _run_wgrad(halo, gp, *, H, Wf, interpret, act_sb=None, act_F=0):
+    """dW in halo form: (3, HC, FCo) f32. halo has H+2 rows, gp has H.
+    act_sb: optional fused relu(x*s+b) input transform (recomputed here
+    instead of materializing the activation for the backward)."""
     B = halo.shape[0]
     HC = halo.shape[-1]
     FCo = gp.shape[-1]
@@ -241,22 +337,30 @@ def _run_wgrad(halo, gp, *, H, Wf, interpret):
         gp = jnp.concatenate(
             [gp, jnp.zeros((B, pad, Wf, FCo), gp.dtype)], axis=1)
     gs = gp.reshape(B, nT, TH, Wf, FCo)
+    operands = [xs, gs]
+    in_specs = [
+        pl.BlockSpec((1, 1, TH + 2, Wf, HC),
+                     lambda b, t: (b, t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, TH, Wf, FCo),
+                     lambda b, t: (b, t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if act_sb is not None:
+        for v in act_sb:
+            in_specs.append(pl.BlockSpec(v.shape, lambda b, t: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(v)
     return pl.pallas_call(
-        partial(_wgrad_kernel, TH=TH, Wf=Wf),
+        partial(_wgrad_kernel, TH=TH, Wf=Wf, act=act_sb is not None,
+                act_F=act_F),
         grid=(B, nT),
-        in_specs=[
-            pl.BlockSpec((1, 1, TH + 2, Wf, HC),
-                         lambda b, t: (b, t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TH, Wf, FCo),
-                         lambda b, t: (b, t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, HC, FCo), lambda b, t: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, HC, FCo), jnp.float32),
         interpret=interpret,
-    )(xs, gs)
+    )(*operands)
 
 
 # ------------------------------------------------------------- public op
@@ -360,6 +464,86 @@ def _bwd(F, Cis, elu, interpret, res, g):
 
 
 fold_conv3x3_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------- encoder variant (zero pad)
+
+def _sb_halo(v, F, Ci):
+    """(F*Ci,) per-lane affine vector -> (1, (F+2)*Ci) halo version: halo
+    slot 0 is the left neighbour's slot F-1, slot F+1 the right
+    neighbour's slot 0."""
+    return jnp.concatenate([v[(F - 1) * Ci:], v, v[:Ci]]).reshape(1, -1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fold_conv3x3_zero_pallas(x, w, s, b, F, Ci, act, interpret):
+    """Zero-pad (SAME) bias-free 3x3 folded conv — the encoder basic-block
+    conv (reference torchvision BasicBlock via networks/resnet_encoder.py)
+    — with the PRECEDING BatchNorm affine + ReLU optionally fused on the
+    input side: y = conv3x3(relu(x*s + b)) when `act`, conv3x3(x)
+    otherwise. x (B, H, Wf, F*Ci) folded; w (3, 3, Ci, Co); s/b (F*Ci,)
+    per-lane affine (models/norm.py BatchNorm return_affine). The
+    activated tensor never exists in HBM — forward and both backwards
+    recompute it on the fly in VMEM."""
+    y, _ = _zfwd(x, w, s, b, F, Ci, act, interpret)
+    return y
+
+
+def _zfwd(x, w, s, b, F, Ci, act, interpret):
+    B, H, Wf, _ = x.shape
+    dt = x.dtype
+    Co = w.shape[-1]
+    halo = _halo_w_zero(x, F, Ci)
+    z1 = jnp.zeros((B, 1) + halo.shape[2:], dt)
+    hpad = jnp.concatenate([z1, halo, z1], axis=1)
+    wh = _halo_weights(w, F, dt)
+    sb = ((_sb_halo(s.astype(dt), F, Ci), _sb_halo(b.astype(dt), F, Ci))
+          if act else None)
+    y = _run_conv([hpad], [wh], None, H_out=H, Wf=Wf, FCo=F * Co,
+                  elu=False, out_dtype=dt, interpret=interpret, act_sb=sb,
+                  act_F=F)
+    return y, (x, w, s, b)
+
+
+def _zbwd(F, Ci, act, interpret, res, g):
+    x, w, s, b = res
+    B, H, Wf, _ = x.shape
+    dt = x.dtype
+    Co = w.shape[-1]
+    gp = g.astype(dt)
+
+    # grad wrt the ACTIVATED input: zero-pad correlation, interior rows
+    z2 = jnp.zeros((B, 2, Wf, F * Co), dt)
+    gp_rows = jnp.concatenate([z2, gp, z2], axis=1)
+    gph = _halo_w_zero(gp_rows, F, Co)
+    whT = _halo_weights(_flip_swap(w), F, dt)
+    da = _run_conv([gph], [whT], None, H_out=H + 2, Wf=Wf, FCo=F * Ci,
+                   elu=False, out_dtype=dt, interpret=interpret)[:, 1:H + 1]
+
+    if act:
+        sf = s.astype(dt)
+        t = x * sf + b.astype(dt)
+        dt_ = jnp.where(t > 0, da, jnp.zeros((), dt))
+        dx = dt_ * sf
+        ds = (dt_.astype(jnp.float32) * x.astype(jnp.float32)).sum(
+            axis=(0, 1, 2)).astype(s.dtype)
+        db = dt_.astype(jnp.float32).sum(axis=(0, 1, 2)).astype(b.dtype)
+    else:
+        dx, ds, db = da, jnp.zeros_like(s), jnp.zeros_like(b)
+
+    halo = _halo_w_zero(x, F, Ci)
+    z1 = jnp.zeros((B, 1) + halo.shape[2:], dt)
+    hpad = jnp.concatenate([z1, halo, z1], axis=1)
+    sb = ((_sb_halo(s.astype(dt), F, Ci), _sb_halo(b.astype(dt), F, Ci))
+          if act else None)
+    dwh = _run_wgrad(hpad, gp, H=H, Wf=Wf, interpret=interpret, act_sb=sb,
+                     act_F=F)
+    dwh = dwh.reshape(3, F + 2, Ci, F, Co)
+    dw = jnp.einsum("yscqb,dsq->ydcb", dwh, _halo_indicator(F))
+    return dx, dw.astype(w.dtype), ds, db
+
+
+fold_conv3x3_zero_pallas.defvjp(_zfwd, _zbwd)
 
 
 def analytic_costs(B, H, Wf, F, Cis, Co, dtype_bytes=2):

@@ -80,7 +80,11 @@ def _band_bw():
       Costs one 1D lane-min per (row, strip) plus a dynamic lane-start
       slice (Mosaic requires the 128-alignment)."""
     import os
-    v = os.environ.get("FUSIONDEPTH_WARP_BW", "384")
+    # dyn256 DEFAULT since round 4: measured v5e b12 warp fwd 14.0 ->
+    # 10.0 ms, step 68.8 -> 64.3 ms, exact for any uniform flow magnitude
+    # (tests/test_pallas_warp.py dyn tests; PERF.md round-4 anatomy).
+    # "384" restores the round-3 static band (exact for |ix-col| <= 128).
+    v = os.environ.get("FUSIONDEPTH_WARP_BW", "dyn256")
     if v.startswith("dyn"):
         return int(v[3:] or 256), True
     return int(v), False

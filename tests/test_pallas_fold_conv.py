@@ -156,3 +156,79 @@ def test_decoder_parity_env_gate(monkeypatch):
     for k in base:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(base[k]),
                                    rtol=3e-5, atol=3e-5, err_msg=str(k))
+
+
+# ------------------------- encoder variant (zero pad, fused BN+ReLU in)
+
+def _zero_oracle(x, w, s, b, F, Ci, act):
+    """conv3x3 SAME zero-pad (bias-free) of relu(x*s+b), via the folded
+    band formulation (models/resnet._FoldConv3x3 uses the same math)."""
+    from fusiondepth_tpu.ops.folded import fold_kernel3x3
+
+    a = jnp.maximum(x * s + b, 0.0) if act else x
+    kf = fold_kernel3x3(w, F).astype(a.dtype)
+    return jax.lax.conv_general_dilated(
+        a, kf, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("act", [False, True])
+@pytest.mark.parametrize("C,F,W,H", [(64, 2, 32, 8), (64, 2, 64, 12)])
+def test_zero_pad_encoder_conv(C, F, W, H, act):
+    from fusiondepth_tpu.ops.pallas_fold_conv import fold_conv3x3_zero_pallas
+
+    rng = np.random.RandomState(7)
+    B = 2
+    x = _mk(rng, B, H, W, C)
+    w = _mk(rng, 3, 3, C, C) * 0.2
+    s = jnp.abs(_mk(rng, F * C)) * 0.5 + 0.5
+    bb = _mk(rng, F * C) * 0.3
+    xf = fold(x, F)
+    g = _mk(rng, B, H, W // F, F * C)
+
+    def f_pallas(xf_, w_, s_, b_):
+        return fold_conv3x3_zero_pallas(xf_, w_, s_, b_, F, C, act, True)
+
+    def f_ref(xf_, w_, s_, b_):
+        return _zero_oracle(xf_, w_, s_, b_, F, C, act)
+
+    yp, vjp_p = jax.vjp(f_pallas, xf, w, s, bb)
+    yr, vjp_r = jax.vjp(f_ref, xf, w, s, bb)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yr),
+                               rtol=2e-5, atol=2e-5)
+    names = ("dx", "dw", "ds", "db")
+    for got, want, name in zip(vjp_p(g), vjp_r(g), names):
+        if not act and name in ("ds", "db"):
+            continue  # oracle differentiates the unused affine; ours is 0
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_encoder_block_parity_env_gate(monkeypatch):
+    """Folded ResNet-18 encoder forward + grads with
+    FUSIONDEPTH_PALLAS_ENCCONV=interpret match the XLA folded path (same
+    params, same batch_stats updates)."""
+    from fusiondepth_tpu.models.resnet import ResnetEncoder
+
+    rng = np.random.RandomState(8)
+    x = _mk(rng, 2, 32, 64, 3)
+    enc = ResnetEncoder(depth=18, in_channels=3, fold64=True)
+    v = enc.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(v_, x_):
+        feats, upd = enc.apply(v_, x_, train=True, mutable=["batch_stats"])
+        return sum(f.astype(jnp.float32).mean() for f in feats), upd
+
+    (l0, u0), g0 = jax.value_and_grad(loss, has_aux=True)(v, x)
+    monkeypatch.setenv("FUSIONDEPTH_PALLAS_ENCCONV", "interpret")
+    (l1, u1), g1 = jax.value_and_grad(loss, has_aux=True)(v, x)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
+    flat0 = jax.tree.leaves(g0)
+    flat1 = jax.tree.leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(u0), jax.tree.leaves(u1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
