@@ -235,7 +235,10 @@ def _conv_kernel(*refs, n_in, TH, Wf, FCo, elu, out_dtype, act=False,
     if use_bias:
         y = y + b_ref[0].astype(jnp.float32)[None, :]
     if elu:
-        y = jnp.where(y > 0, y, jnp.expm1(y))
+        # Mosaic has no expm1 lowering; exp-1 in f32 is fine here (the
+        # subtraction cancellation expm1 avoids only matters near 0,
+        # where |exp(y)-1-y| < f32 eps anyway for the bf16-cast output)
+        y = jnp.where(y > 0, y, jnp.exp(y) - 1.0)
     o_ref[0, 0] = y.reshape(TH, Wf, FCo).astype(out_dtype)
 
 

@@ -35,6 +35,11 @@ import jax.numpy as jnp
 from bench import SCAN_STEPS, _timeit_stats, tunnel_latency  # noqa: E402
 
 
+XOPTS = {}  # --xopt key=value -> XLA compiler options (forwarded to the
+#             axon server-side compiler; the LOCAL XLA_FLAGS parser aborts
+#             on TPU-only flag names, so env vars cannot carry these)
+
+
 def scan_fold(fn, n=SCAN_STEPS):
     """Fold fn (carry-free, returns scalar) n times into one jit; the carry
     perturbs the input so XLA cannot hoist the body out of the loop."""
@@ -47,7 +52,7 @@ def scan_fold(fn, n=SCAN_STEPS):
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return out
 
-    return jax.jit(multi), n
+    return jax.jit(multi, compiler_options=XOPTS or None), n
 
 
 def main():
@@ -64,7 +69,15 @@ def main():
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="Config field overrides, same syntax as bench.py "
                         "(profile the flag combo the benchmark recorded)")
+    p.add_argument("--xopt", action="append", metavar="KEY=VALUE",
+                   help="XLA compiler options for the timed jits, e.g. "
+                        "--xopt xla_tpu_scoped_vmem_limit_kib=65536 "
+                        "(reaches the axon server-side compiler; XLA_FLAGS "
+                        "env aborts locally on TPU-only flag names)")
     args = p.parse_args()
+    for item in args.xopt or []:
+        k, _, v = item.partition("=")
+        XOPTS[k] = v
     stages = args.stages.split(",")
     from bench import _parse_set
 
@@ -162,7 +175,7 @@ def main():
             s, losses = jax.lax.scan(body, st0, keys)
             return losses[-1]
 
-        jstep = jax.jit(multi_step)
+        jstep = jax.jit(multi_step, compiler_options=XOPTS or None)
         stt = _timeit_stats(lambda: jstep(state, batch, rng),
                             iters=1, warmup=2, trials=3)
         print(f"{'step':12s} {stt['median']/SCAN_STEPS*1e3:8.2f} ms  "
