@@ -73,25 +73,45 @@ def eligible(xf_shape, F: int) -> bool:
 def eligible_enc(xf_shape, F: int) -> bool:
     """The fused-act encoder path additionally requires an exact H tiling
     (its structural-zero masks only cover the first/last pad rows, not
-    _stack_windows' zero extension)."""
-    _, H, Wf, _ = xf_shape
-    return eligible(xf_shape, F) and _tile(H)[2] == 0
+    _stack_windows' zero extension). Mirrors _run_conv's VMEM-aware tile
+    choice (bf16)."""
+    _, H, Wf, FC = xf_shape
+    rb = _row_bytes([(F + 2) * (FC // F)], Wf, FC, 2, 2)
+    return eligible(xf_shape, F) and _tile(H, rb)[2] == 0
 
 
-def _tile(H_out: int):
+def _tile(H_out: int, row_bytes: int = 0):
     """(TH, nT, pad): output-row tiling. Prefers an exact divisor <= 50;
     otherwise the TH <= 50 minimizing zero-row padding (dgrad's H+2 can be
-    2*97 etc.)."""
-    if H_out <= 50:
+    2*97 etc.). row_bytes (double-buffered input+output+scratch bytes per
+    output row, lane-padded) caps TH so the block fits Mosaic's ~16 MB
+    scoped VMEM (probed: upconv_1_1 at TH=48 needed 16.65 MB)."""
+    cap = 50
+    if row_bytes:
+        cap = max(4, min(50, int(13.2e6 / row_bytes)))
+    if H_out <= cap:
         return H_out, 1, 0
     best = None
-    for t in range(50, 7, -1):
+    for t in range(cap, 3, -1):
         pad = (-H_out) % t
         if best is None or pad < best[2] or (pad == best[2] and t > best[0]):
             best = (t, (H_out + pad) // t, pad)
-        if pad == 0 and t >= 24:
+        if pad == 0 and t >= min(24, cap // 2):
             return best
     return best
+
+
+def _row_bytes(halos_hc, Wf, FCo, db_in, db_out):
+    """Per-output-row VMEM estimate for _tile: double-buffered inputs +
+    outputs, plus one merged-tap scratch copy at the widest input (lane
+    dims padded to 128)."""
+    def pad128(c):
+        return -(-c // 128) * 128
+
+    rb_in = sum(Wf * pad128(hc) * db_in for hc in halos_hc)
+    rb_out = Wf * pad128(FCo) * db_out
+    scratch = Wf * pad128(max(halos_hc)) * db_in
+    return 2 * (rb_in + rb_out) + 2 * scratch
 
 
 def _stack_windows(x, TH: int, nT: int):
@@ -289,7 +309,15 @@ def _run_conv(halos, whs, bias_f, *, H_out, Wf, FCo, elu, out_dtype,
     tensors; returns (B, H_out, Wf, FCo) in out_dtype. act_sb: optional
     ((1, HC) scale, (1, HC) bias) fused input transform relu(x*s+b)."""
     B = halos[0].shape[0]
-    TH, nT, _ = _tile(H_out)
+    db = jnp.dtype(halos[0].dtype).itemsize
+    TH, nT, _ = _tile(H_out, _row_bytes([h.shape[-1] for h in halos], Wf,
+                                        FCo, db, jnp.dtype(out_dtype)
+                                        .itemsize))
+    if act_sb is not None:
+        # the act masks only cover the REAL H-pad rows; zero-extension
+        # rows would activate to relu(b) != 0 at the last tile's masked
+        # position (eligible_enc pre-screens this)
+        assert nT * TH == H_out, (H_out, TH, nT)
     stacks = [_stack_windows(h, TH, nT) for h in halos]
     operands = list(stacks) + list(whs)
     in_specs = []
@@ -334,7 +362,9 @@ def _run_wgrad(halo, gp, *, H, Wf, interpret, act_sb=None, act_F=0):
     B = halo.shape[0]
     HC = halo.shape[-1]
     FCo = gp.shape[-1]
-    TH, nT, pad = _tile(H)
+    db = jnp.dtype(halo.dtype).itemsize
+    TH, nT, pad = _tile(H, _row_bytes([HC], Wf, FCo, db,
+                                      jnp.dtype(gp.dtype).itemsize))
     xs = _stack_windows(halo, TH, nT)
     if pad:
         gp = jnp.concatenate(
