@@ -45,12 +45,15 @@ def _bh_for(ho: int, wo: int = 160, c: int = 64,
             dtype_bytes: int = 2) -> int:
     """Output rows per program: largest divisor of Ho <= 12 that fits the
     16 MB scoped-VMEM limit. The bwd kernel holds ~10 (BH, Wo, C) planes
-    plus the double-buffered (2BH, Wo, 2C) input and grad blocks —
-    measured ~36 x BH*Wo*C*dtype bytes at the compile-time peak (the
-    paired-encoder stem, C=128, OOM'd at BH=12 = 17.49 MB vs 16 MB)."""
-    budget = int(15.5e6)
+    plus the double-buffered (2BH, Wo, 2C) input and grad blocks. Two
+    compile-time OOM datapoints pin the coefficient: the paired-encoder
+    stem (C=128, BH=12) peaked at 17.49 MB = 35.6x BH*Wo*C*db, and the
+    COMPLETION stem (352x1216: Wo=304, C=64, BH=11) at 18.01 MB = 42.1x —
+    so the model uses 44x with a 15 MB budget (flagship 48x160 keeps
+    BH=12, completion drops to BH=8, both compile)."""
+    budget = int(15.0e6)
     for d in range(min(ho, 12), 0, -1):
-        if ho % d == 0 and 36 * d * wo * c * dtype_bytes <= budget:
+        if ho % d == 0 and 44 * d * wo * c * dtype_bytes <= budget:
             return d
     return 1
 
