@@ -44,6 +44,20 @@ WARMUP = 3
 ITERS = 10
 SCAN_STEPS = 20  # training steps folded into one jit per timed call
 
+# --xopt key=value -> XLA compiler options for the benched jits. These are
+# proto-backed options forwarded per-compile to the axon server-side TPU
+# compiler (the LOCAL XLA_FLAGS parser aborts on TPU-only flag names, so
+# the env var cannot carry them). bench_anatomy.py shares the mechanism.
+XOPTS: dict = {}
+
+# The completion model (config 5, 352x1216) needs a raised Mosaic
+# scoped-VMEM limit: the stem maxpool backward kernel's stack allocation
+# is 18.4 MB at Wo=304 against the 16 MB default (nearly BH-independent —
+# row tiling cannot shrink it further; see ops/pallas_pool._bh_for). The
+# option is measured perf-neutral on the flagship (PERF.md round-4/5 flag
+# probes) and v5e has 128 MB of VMEM.
+COMPLETION_XOPTS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+
 # bf16 peak TFLOP/s per chip, by device_kind substring (public specs)
 PEAK_TFLOPS_BF16 = {
     "v2": 45.0,
@@ -222,7 +236,8 @@ def bench_train(cfg_kwargs, metric, batch):
     data = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=batch))
 
     S = SCAN_STEPS
-    multi = jax.jit(make_scan_step(cfg, nets, tx, S), donate_argnums=0)
+    multi = jax.jit(make_scan_step(cfg, nets, tx, S), donate_argnums=0,
+                    compiler_options=XOPTS or None)
     # XLA's cost analysis counts a while-loop body ONCE, so the scan
     # program's flops == one training step's flops (verified: lowering the
     # single step and the S-step scan report the same count)
@@ -294,7 +309,7 @@ def bench_inference(cfg_kwargs, metric, batch=1):
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=S)
         return out
 
-    infer = jax.jit(multi)
+    infer = jax.jit(multi, compiler_options=XOPTS or None)
     dt = _timeit(lambda: infer(variables, data), iters=1) / S
     fps = batch / dt
     return {"metric": metric, "value": round(fps, 1), "unit": "fps",
@@ -418,7 +433,7 @@ LADDER_BUDGET_S = float(__import__("os").environ.get(
 # is flagged loudly in the JSON and on stderr so round-over-round perf can't
 # silently slip while kernels churn (VERDICT r3 item 8).
 BEST_KNOWN_STEP_MS = {
-    "r4_default_b24": 141.26,   # BENCH_r03 r3_fold64_b24 (pre-r4 kernels)
+    "r4_default_b24": 118.82,   # BENCH_r04 r4_default_b24
     "r4_default_b12": 64.28,    # PERF.md r4: fold_stem + seam + dyn256
 }
 REGRESSION_TOL = 1.10
@@ -525,7 +540,14 @@ def main():
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a Config field on the benched config "
                         "(repeatable; value parsed as JSON when possible)")
+    p.add_argument("--xopt", action="append", metavar="KEY=VALUE",
+                   help="XLA compiler option for the benched jits, e.g. "
+                        "--xopt xla_tpu_scoped_vmem_limit_kib=65536 "
+                        "(reaches the axon server-side compiler)")
     args = p.parse_args()
+    for item in args.xopt or []:
+        k, _, v = item.partition("=")
+        XOPTS[k] = v
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dt = "bfloat16" if on_tpu else "float32"
@@ -543,10 +565,17 @@ def main():
     elif args.config == 4:
         result = bench_refiner(base)
     elif args.config == 5:
+        for k, v in COMPLETION_XOPTS.items():
+            if k not in XOPTS:
+                XOPTS[k] = v
+                print(f"config 5: compiler option {k}={v} (pool-bwd kernel "
+                      "stack needs >16 MB scoped VMEM at Wo=304)",
+                      file=sys.stderr)
+        cfg5 = dict(num_layers=50, height=352, width=1216, compute_dtype=dt,
+                    completion_num_layers=50, remat=True)
+        cfg5.update(_parse_set(getattr(args, "set", None)))
         result = bench_train(
-            dict(num_layers=50, height=352, width=1216, compute_dtype=dt,
-                 completion_num_layers=50, remat=True),
-            "completion_samples_per_sec_r50_1216x352", batch=2)[-1]
+            cfg5, "completion_samples_per_sec_r50_1216x352", batch=2)[-1]
         # config-5 baseline: A100 PyTorch full-res completion ~50 samples/s
         result["vs_baseline"] = round(
             result["value"] / 50.0, 3)

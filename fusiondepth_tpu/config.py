@@ -166,6 +166,14 @@ class Config:
     # ops/pallas_warp_gather.py — ~5x less arithmetic, VPU-bound). Same
     # windowing contract and numerics either way (tests/test_pallas_warp).
     pallas_warp_backend: str = "banded"
+    # Source-band spec for the banded warp kernel ("dyn256", "dyn384",
+    # "384", ...; see ops/pallas_warp._band_bw). "" defers to the
+    # FUSIONDEPTH_WARP_BW env gate, EXCEPT under use_stereo, where
+    # photometric.warp_band_for auto-selects "dyn384": stereo disparity
+    # fields at depth discontinuities can exceed dyn256's ~128 px
+    # in-strip spread domain (the clamp is silent — ops/pallas_warp.py
+    # band_clamp_fraction is the telemetry).
+    warp_band: str = ""
     # Run the depth+beam (and pose+beam-pose) encoder pairs as single
     # grouped-conv passes with block-grouped kernels (models/paired.py):
     # every C=64 conv fills all 128 lanes and the pass count halves.

@@ -307,7 +307,9 @@ class _BasicBlock(nn.Module):
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 pack=2, dtype=self.dtype, name=name)
             menc = pallas_fold_conv.mode_enc()
-            if menc != "0" and pallas_fold_conv.eligible_enc(x.shape, 2):
+            db = jnp.dtype(self.dtype).itemsize
+            if menc != "0" and pallas_fold_conv.eligible_enc(
+                    x.shape, 2, db_in=db, db_out=db):
                 # fused Pallas path: conv1 raw, then bn1's affine + relu
                 # fused INTO conv2's input side (the activated tensor
                 # never hits HBM); bn2 affine + residual + relu is one

@@ -70,13 +70,15 @@ def eligible(xf_shape, F: int) -> bool:
     return Wf % 8 == 0 and H >= 4
 
 
-def eligible_enc(xf_shape, F: int) -> bool:
+def eligible_enc(xf_shape, F: int, db_in: int = 2, db_out: int = 2) -> bool:
     """The fused-act encoder path additionally requires an exact H tiling
     (its structural-zero masks only cover the first/last pad rows, not
     _stack_windows' zero extension). Mirrors _run_conv's VMEM-aware tile
-    choice (bf16)."""
+    choice — pass the ACTUAL input/output dtype itemsizes so the probe
+    and _run_conv compute the same (TH, nT, pad) (a float32 compute dtype
+    tiles with 4-byte rows and can pick a smaller TH)."""
     _, H, Wf, FC = xf_shape
-    rb = _row_bytes([(F + 2) * (FC // F)], Wf, FC, 2, 2)
+    rb = _row_bytes([(F + 2) * (FC // F)], Wf, FC, db_in, db_out)
     return eligible(xf_shape, F) and _tile(H, rb)[2] == 0
 
 
@@ -365,6 +367,13 @@ def _run_wgrad(halo, gp, *, H, Wf, interpret, act_sb=None, act_F=0):
     db = jnp.dtype(halo.dtype).itemsize
     TH, nT, pad = _tile(H, _row_bytes([HC], Wf, FCo, db,
                                       jnp.dtype(gp.dtype).itemsize))
+    if act_sb is not None:
+        # same invariant as _run_conv's act path: _act_masks only covers
+        # the REAL H-pad rows (first/last tile); a zero-extension row
+        # would recompute relu(b) != 0 and silently contaminate dW. The
+        # forward's assert protects this only while both _row_bytes calls
+        # coincide — fail loudly here if the tilings ever diverge.
+        assert nT * TH == H, (H, TH, nT)
     xs = _stack_windows(halo, TH, nT)
     if pad:
         gp = jnp.concatenate(

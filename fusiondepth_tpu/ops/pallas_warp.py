@@ -60,6 +60,31 @@ BW = 384  # source-band columns per output strip (covers |ix-col|<=128)
 WH = WR
 
 
+# trace-time band override (Config-driven; see band_override). Takes
+# precedence over the FUSIONDEPTH_WARP_BW env A/B gate: training configs
+# with wide-displacement warps (use_stereo) auto-select a wider dynamic
+# band than the dyn256 default (training/photometric.py).
+_BAND_OVERRIDE = [None]
+
+
+class band_override:
+    """Context manager pinning the band spec ("dyn256", "dyn384", "384",
+    ...) for warps traced inside, overriding the env gate."""
+
+    def __init__(self, value: str | None):
+        self.value = value or None
+
+    def __enter__(self):
+        self.prev = _BAND_OVERRIDE[0]
+        if self.value is not None:
+            _BAND_OVERRIDE[0] = self.value
+        return self
+
+    def __exit__(self, *exc):
+        _BAND_OVERRIDE[0] = self.prev
+        return False
+
+
 def _band_bw():
     """Effective (source-band width, dynamic?) read at TRACE time for
     bench-ladder A/B:
@@ -84,10 +109,44 @@ def _band_bw():
     # 10.0 ms, step 68.8 -> 64.3 ms, exact for any uniform flow magnitude
     # (tests/test_pallas_warp.py dyn tests; PERF.md round-4 anatomy).
     # "384" restores the round-3 static band (exact for |ix-col| <= 128).
-    v = os.environ.get("FUSIONDEPTH_WARP_BW", "dyn256")
+    v = _BAND_OVERRIDE[0] or os.environ.get("FUSIONDEPTH_WARP_BW", "dyn256")
     if v.startswith("dyn"):
         return int(v[3:] or 256), True
     return int(v), False
+
+
+def band_clamp_fraction(coords, H: int, W: int):
+    """Fraction of samples OUTSIDE the banded kernel's exactness domain,
+    under the CURRENT trace-time band config — the out-of-domain telemetry
+    for the silent band clamp (ops docstring "Exactness domain").
+
+    Mirrors the kernel's own alignment rules: horizontal exact iff
+    ix <= bs + bw - 1 with bs the per-(row, strip) 128-aligned dynamic
+    start (_dyn_bs) or the static band start (_band); vertical exact iff
+    iy <= yb + WR - 1 with yb the per-row 8-aligned window start (_ywin).
+    coords: (..., H, W, 2) pixel-space, already image-clamped (as handed
+    to _warp). Returns {"h_frac", "v_frac", "frac"} floats.
+    """
+    ix, iy = coords[..., 0], coords[..., 1]
+    bwe, dyn = _band_bw()
+    bw = min(bwe, W)
+    n_strips = -(-W // LS)
+    h_bad = []
+    for s in range(n_strips):
+        sw = min(LS, W - s * LS)
+        ixs = ix[..., s * LS:s * LS + sw]
+        if dyn and W > bw:
+            mn = jnp.floor(ixs.min(axis=-1)).astype(jnp.int32)
+            bs = (jnp.clip(mn, 0, W - bw) // 128 * 128)[..., None]
+        else:
+            bs = _band(s, W)[0]
+        h_bad.append(ixs > bs + bw - 1)
+    h_bad = jnp.concatenate(h_bad, axis=-1)
+    mn_y = jnp.floor(iy.min(axis=-1)).astype(jnp.int32)
+    yb = jnp.clip(mn_y, 0, H - WR) // 8 * 8
+    v_bad = iy > (yb[..., None] + WR - 1)
+    return {"h_frac": float(h_bad.mean()), "v_frac": float(v_bad.mean()),
+            "frac": float((h_bad | v_bad).mean())}
 
 
 def _band(s: int, W: int):

@@ -115,6 +115,16 @@ def _pyramid_planes(cfg: Config, target_p):
 # planes formulation (default)
 # --------------------------------------------------------------------------
 
+def warp_band_for(cfg: Config):
+    """Effective banded-warp band spec for this config: an explicit
+    cfg.warp_band wins; otherwise stereo training auto-widens to dyn384
+    (stereo disparity spread at depth discontinuities exceeds dyn256's
+    ~128 px exactness domain — reference trainer.py:467-470's grid_sample
+    is exact everywhere, so the kernel's domain must cover the flows the
+    config can produce). None = keep the env/default band."""
+    return cfg.warp_band or ("dyn384" if cfg.use_stereo else None)
+
+
 def _generate_images_pred_planes(cfg: Config, batch, outputs, frame_ids,
                                  mesh: Optional[Mesh]):
     """Full-res warping (v1_multiscale off): every (scale, frame) warp in
@@ -154,9 +164,25 @@ def _generate_images_pred_planes(cfg: Config, batch, outputs, frame_ids,
     # ~4e-3 on [0,1] colors, 8.6x faster incl. backward); f32 keeps HIGHEST
     prec = (jax.lax.Precision.DEFAULT if cfg.compute_dtype == "bfloat16"
             else jax.lax.Precision.HIGHEST)
-    warped = warp_planes(sources_p, grid_stack, use_pallas=cfg.pallas_warp,
-                         precision=prec, mesh=mesh,
-                         backend=cfg.pallas_warp_backend)
+    # Band-domain guard: the dyn256 default is exact while each strip's
+    # in-strip ix SPREAD fits ~128 px — safe for temporal reprojection,
+    # but stereo training warps by a full disparity field whose spread at
+    # depth discontinuities can exceed it (fx*b*(1/z_near - 1/z_far)), so
+    # use_stereo auto-selects the wider dyn384 band (exact spread <= 256
+    # px; tests/test_pallas_warp.py stereo-discontinuity oracle).
+    # cfg.warp_band pins an explicit choice; both override the
+    # FUSIONDEPTH_WARP_BW env A/B gate and are recorded by selection.
+    from fusiondepth_tpu.ops import pallas_warp
+    from fusiondepth_tpu.utils import selection
+
+    band = warp_band_for(cfg)
+    if band and cfg.pallas_warp:
+        selection.record(warp_band=band)
+    with pallas_warp.band_override(band):
+        warped = warp_planes(sources_p, grid_stack,
+                             use_pallas=cfg.pallas_warp,
+                             precision=prec, mesh=mesh,
+                             backend=cfg.pallas_warp_backend)
 
     outputs["warped_planes"] = warped      # (n, k, B, C, H, W)
     outputs["sources_planes"] = sources_p  # (n, B, C, H, W)

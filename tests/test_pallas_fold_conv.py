@@ -48,7 +48,11 @@ def test_fwd_matches_folded(C, F, W, H, elu):
 
 
 @pytest.mark.parametrize("C,F,W,H", [(16, 8, 128, 8), (64, 2, 32, 8),
-                                     (128, 1, 16, 12)])
+                                     (128, 1, 16, 12),
+                                     # H=104 -> TH=26, nT=4: cross-tile
+                                     # wgrad accumulation + window halos
+                                     # (the production H=48..96 regime)
+                                     (64, 2, 32, 104)])
 def test_grads_match_folded(C, F, W, H):
     rng = np.random.RandomState(1)
     B = 2
@@ -173,7 +177,10 @@ def _zero_oracle(x, w, s, b, F, Ci, act):
 
 
 @pytest.mark.parametrize("act", [False, True])
-@pytest.mark.parametrize("C,F,W,H", [(64, 2, 32, 8), (64, 2, 64, 12)])
+@pytest.mark.parametrize("C,F,W,H", [(64, 2, 32, 8), (64, 2, 64, 12),
+                                     # multi-tile: first/last-tile act
+                                     # masks + cross-tile accumulation
+                                     (64, 2, 32, 104)])
 def test_zero_pad_encoder_conv(C, F, W, H, act):
     from fusiondepth_tpu.ops.pallas_fold_conv import fold_conv3x3_zero_pallas
 
@@ -197,12 +204,18 @@ def test_zero_pad_encoder_conv(C, F, W, H, act):
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yr),
                                rtol=2e-5, atol=2e-5)
     names = ("dx", "dw", "ds", "db")
+    # dw sums B*H*W f32 terms in tile order vs the oracle's conv order:
+    # at H=104 (4 tiles) the reassociation spreads to ~1e-3 relative on
+    # O(100)-magnitude entries — accumulation noise, not a formulation
+    # difference (the single-tile cases pin 1e-4)
+    dw_rtol = 1e-3 if H > 50 else 1e-4
     for got, want, name in zip(vjp_p(g), vjp_r(g), names):
         if not act and name in ("ds", "db"):
             continue  # oracle differentiates the unused affine; ours is 0
+        tol = dw_rtol if name == "dw" else 1e-4
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
-            rtol=1e-4, atol=1e-4, err_msg=name)
+            rtol=tol, atol=tol, err_msg=name)
 
 
 def test_encoder_block_parity_env_gate(monkeypatch):

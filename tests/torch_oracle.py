@@ -134,6 +134,130 @@ def smooth_loss_t(disp, img):
     return (gdx * torch.exp(-gix)).mean() + (gdy * torch.exp(-giy)).mean()
 
 
+def cat_xy_t(depth, inv_K):
+    """layers.py:165-201 Cat_xy: backproject depth, then the hand-tuned
+    normalizers x/30, y/2, (z-40)/40; depth (B, 1, H, W) -> (B, 3, H, W)."""
+    B, _, H, W = depth.shape
+    ys, xs = torch.meshgrid(torch.arange(H, dtype=depth.dtype),
+                            torch.arange(W, dtype=depth.dtype),
+                            indexing="ij")
+    ones = torch.ones(1, H * W, dtype=depth.dtype)
+    pix = torch.cat([xs.reshape(1, -1), ys.reshape(1, -1), ones], 0)
+    pix = pix.unsqueeze(0).expand(B, 3, H * W)
+    cam = torch.matmul(inv_K[:, :3, :3], pix)
+    cam = depth.reshape(B, 1, -1) * cam
+    cam = cam.reshape(B, 3, H, W).clone()
+    cam[:, 0] = cam[:, 0] / 30.0
+    cam[:, 1] = cam[:, 1] / 2.0
+    cam[:, 2] = (cam[:, 2] - 40.0) / 40.0
+    return cam
+
+
+def build_pseudo3d_t(disps, beam, two_cha, inv_K_per_scale, H, W, scales,
+                     crop, min_depth, max_depth, refine_a0=True, catxy=True):
+    """refiner.py:316-346 pseudo-3D decoder-input construction.
+
+    disps: {scale: refined-stage-1 disp (B, 1, Hs, Ws)}; beam (B, 1, H, W)
+    meters/100; two_cha (B, 2, H, W); crop = (r0, r1, c0, c1) — the
+    reference hard-codes [78:190, 23:617] at its 192x640 training res
+    (refiner.py:330-331); at other resolutions the JAX build scales it
+    proportionally, so the caller passes the same scaled window.
+    Returns {scale: (B, 1+3+2, Hs, Ws)} (catxy) per refiner.py:344-346.
+    """
+    r0, r1, c0, c1 = crop
+    mask = beam > 0
+    crop_mask = torch.zeros_like(mask)
+    crop_mask[:, :, r0:r1, c0:c1] = 1
+    mask = mask * crop_mask
+
+    out = {}
+    disp_0 = disps[0]
+    for scale in scales:
+        if refine_a0:
+            disp = disp_0
+            disp_0 = F.max_pool2d(disp_0, 2, ceil_mode=True)
+        else:
+            disp = disps[scale]
+        disp_full = F.interpolate(disp, [H, W], mode="bilinear",
+                                  align_corners=False)
+        _, depth = disp_to_depth_t(disp_full, min_depth, max_depth)
+        ratio = (torch.median(beam[mask] * 100.0)
+                 / torch.median(depth[mask]).detach())
+        depth = depth * ratio
+        scaled_disp = (F.interpolate(1.0 / depth, disp.shape[2:],
+                                     mode="bilinear",
+                                     align_corners=False) - 0.01) / 9.9
+        if scale != 0:
+            two_cha = F.max_pool2d(two_cha, 2, ceil_mode=True)
+        if catxy:
+            d = depth
+            for _ in range(scale):
+                d = F.max_pool2d(d, 2, ceil_mode=True)
+            xyz = cat_xy_t(d, inv_K_per_scale[scale])
+            out[scale] = torch.cat([scaled_disp, xyz, two_cha], 1)
+        else:
+            out[scale] = torch.cat([scaled_disp, two_cha], 1)
+    return out
+
+
+def refiner_si_loss_t(pred, target, threshold, si_var):
+    """refiner.py:557-563 siloss: valid = target>1e-3 & 1e-3<pred<80 &
+    |pred-target|<threshold; sqrt(var-focused SI) * 10."""
+    valid = ((target > 1e-3) & (pred < 80) & (pred > 1e-3)
+             & (torch.abs(pred - target) < threshold)).detach()
+    d = torch.log(pred[valid]) - torch.log(target[valid])
+    return torch.sqrt((d ** 2).mean() - si_var * (d.mean() ** 2)) * 10.0
+
+
+def refiner_losses_t(disps, warped, colors, color_pyr, inf_gdc, noise,
+                     H, W, scales, src_frames, min_depth, max_depth,
+                     disparity_smoothness, gdc_loss_threshold, si_var,
+                     gdc_loss_weight, gdc_loss_only_on_scale_0=True,
+                     gama=1.0):
+    """refiner.py:592-693 compute_losses for one refine pass: automasked
+    photometric + smoothness (as trainer) + GDC-clone SI loss vs cached
+    inf_gdc (weight gdc_loss_weight, x4 when scale-0-only), gamma-weighted.
+
+    disps: the REFINED {scale: (B, 1, Hs, Ws)}; inf_gdc (B, H, W);
+    noise {scale: (B, n_src, H, W)} already scaled by 1e-5.
+    Returns total_loss / num_scales * gama (the summand added to
+    losses["loss"] at refiner.py:691).
+    """
+    total = 0.0
+    target = colors[0]
+    for scale in scales:
+        loss = 0.0
+        reproj = torch.cat(
+            [reprojection_loss_t(warped[(f, scale)], target)
+             for f in src_frames], 1)
+        identity = torch.cat(
+            [reprojection_loss_t(colors[f], target) for f in src_frames], 1)
+        identity = identity + noise[scale]
+        combined = torch.cat((identity, reproj), dim=1)
+        to_optimise, _ = torch.min(combined, dim=1)
+        loss = loss + to_optimise.mean()
+
+        disp = disps[scale]
+        mean_disp = disp.mean(2, True).mean(3, True)
+        norm_disp = disp / (mean_disp + 1e-7)
+        smooth = smooth_loss_t(norm_disp, color_pyr[scale])
+        loss = loss + disparity_smoothness * smooth / (2 ** scale)
+        total = total + loss
+
+        if (not gdc_loss_only_on_scale_0) or scale == 0:
+            # reference interpolates to a hard-coded [192, 640] == its
+            # training res (refiner.py:682); H, W here
+            disp_full = F.interpolate(disp, [H, W], mode="bilinear",
+                                      align_corners=False).squeeze(1)
+            _, depth = disp_to_depth_t(disp_full, min_depth, max_depth)
+            gdc_loss = refiner_si_loss_t(
+                depth, inf_gdc, gdc_loss_threshold, si_var) * gdc_loss_weight
+            if gdc_loss_only_on_scale_0:
+                gdc_loss = gdc_loss * 4.0
+            total = total + gdc_loss
+    return total / len(scales) * gama
+
+
 def si_loss_t(depth, beam_depth, threshold, si_var):
     """trainer.py:577-589: SI log loss vs the sparse beams; boolean-mask
     indexing exactly as the reference (depth pre-scaled by caller)."""
