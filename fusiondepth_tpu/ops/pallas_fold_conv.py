@@ -3,35 +3,52 @@
 Why: the decoder's folded convs are exact and lane-dense (ops/folded.py)
 but the XLA lowering EXPLODES into ops — conv + 4 border-correction convs
 + 2 scatter-adds forward, ~5x that backward — and the round-4 HLO audit
-(PERF.md) showed the train step is op-granularity/latency-bound, not
-HBM-bound: the folded decoder alone is ~1,230 scheduled entry ops plus
-their S(1) staging copies. This module collapses each ConvBlock
-(reference layers.py:100-130: ReflectionPad2d + Conv2d 3x3 + ELU) into
-ONE Pallas kernel forward and two backward (input-grad reuses the
-forward kernel with the flipped/transposed weights; weight-grad is a
-grid-accumulated kernel), with only cheap glue left in XLA.
+(PERF.md) showed the train step is staging/op-granularity-bound, not
+compute-bound. This module collapses each ConvBlock (reference
+layers.py:100-130: ReflectionPad2d + Conv2d 3x3 + ELU) into ONE Pallas
+kernel forward and two backward (input-grad reuses the forward kernel
+with the flipped/transposed weights; weight-grad is a grid-accumulated
+kernel), with only cheap glue left in XLA.
 
-Formulation: the HALO layout of ops/folded.py (halo_kernel3x3) — the 3 W
-taps of every output fold slot live in the CHANNEL dim of a
-(B, H+2, Wf, (F+2)*C) halo tensor, so the kernel's W extent is 1:
-in-kernel work is 3 row-sliced matmuls per input with NO W shifts
-(Mosaic-friendly: leading-dim slices are full-tile address offsets) and
-(F+2)/3 MAC inflation instead of the band kernel's F. The halo build and
-the H-overlap window stacking stay in XLA (single fusions); bias, ELU
-and the whole tap contraction are in-kernel.
+Formulation (round 5, BASE form — supersedes the round-4 halo form): the
+kernel reads the folded tensor (B, H, Wf, F*C) DIRECTLY. Round 4 fed the
+kernels XLA-materialized halo tensors ((F+2)/F lane inflation + window
+stacks, ~575 MB/conv of staged traffic) and measured 35% slower than the
+XLA path in context (BENCH_r04 r4_foldconv_b24); the base form removes
+the halo entirely. In the merged ((TH+2)*Wf, F*C) row view of a row tile
+(a free shape cast when Wf % 8 == 0), the three unfolded-W taps of the
+3x3 conv are:
 
-Reflect-pad transpose in halo form is cheap: the pad is 1 ORIGINAL pixel,
-so the backward needs the zero-pad correlation (the same kernel, flipped
-weights) plus per-side single-column/row corrections done in XLA.
+  out += X_ky  @ G0[ky]   # intra-folded-column slot moves (F*C lanes)
+  out += L_ky  @ Gm[ky]   # left cross-column wrap: rows rolled +1,
+                          #   lane-sliced to slot F-1 (C lanes)
+  out += R_ky  @ Gp[ky]   # right wrap: rows rolled -1, slot 0
 
-Exactness: the halo formulation is the same multiply-add set as the band
-formulation (tests/test_folded.py::test_conv3x3_halo_grads_match_band);
-this module is tested against conv3x3_folded fwd+grads in
-tests/test_pallas_fold_conv.py.
+where X_ky = merged rows [ky*Wf, ky*Wf + TH*Wf). The +-1 row rolls
+(pltpu.roll on the lane-sliced copy) realize the folded-column shift
+in-kernel; the roll's wrapped rows land exactly on the w==0 / w==Wf-1
+border rows, which a select replaces with the W-reflect column (torch
+ReflectionPad2d: col -1 == col 1) or zero (the conv-transpose /
+encoder zero-pad variants). G0/Gm/Gp are slices of ops/folded.py's
+fold_kernel3x3 band kernel, so the MAC count is (F+2)/F per dense MAC —
+identical to the halo form — while the input is read ONCE at F*C lanes.
+H reflect/zero padding stays in XLA (2 rows, cheap); the H-overlap
+window stacking (~2/TH duplication) remains the only input duplication.
+
+Backward: fwd = Conv_valid(P(x)) with P the reflect pad, so
+dx = P^T(dXP); dXP over interior columns is the zero-pad correlation
+with the flipped/transposed kernel (the SAME kernel, zero-select
+borders); the two W-pad columns are single-original-column einsums in
+XLA; P^T adds pad rows/cols to rows 1/H-2 and original columns 1/W-2.
+
+Exactness: the base formulation is the same multiply-add set as the
+band formulation (ops/folded.conv3x3_folded); tested against it fwd +
+all grads in tests/test_pallas_fold_conv.py (incl. multi-tile H).
 
 Eligibility (the dispatcher falls back to the XLA path otherwise):
-Wf % 8 == 0 — the (TH, Wf) -> (TH*Wf, ·) merges must be free shape casts.
-Everything in the flagship decoder except the 6x20x512 stage qualifies.
+Wf % 8 == 0 — the (TH, Wf) -> (TH*Wf, ·) merges must be free shape
+casts. Everything in the flagship decoder except the 6x20x512 stage
+qualifies.
 """
 
 from __future__ import annotations
@@ -45,7 +62,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fusiondepth_tpu.ops.folded import halo_kernel3x3
+from fusiondepth_tpu.ops.folded import fold_kernel3x3
 
 
 # ---------------------------------------------------------------- helpers
@@ -78,7 +95,7 @@ def eligible_enc(xf_shape, F: int, db_in: int = 2, db_out: int = 2) -> bool:
     and _run_conv compute the same (TH, nT, pad) (a float32 compute dtype
     tiles with 4-byte rows and can pick a smaller TH)."""
     _, H, Wf, FC = xf_shape
-    rb = _row_bytes([(F + 2) * (FC // F)], Wf, FC, db_in, db_out)
+    rb = _row_bytes([FC], Wf, FC, db_in, db_out)
     return eligible(xf_shape, F) and _tile(H, rb)[2] == 0
 
 
@@ -87,7 +104,8 @@ def _tile(H_out: int, row_bytes: int = 0):
     otherwise the TH <= 50 minimizing zero-row padding (dgrad's H+2 can be
     2*97 etc.). row_bytes (double-buffered input+output+scratch bytes per
     output row, lane-padded) caps TH so the block fits Mosaic's ~16 MB
-    scoped VMEM (probed: upconv_1_1 at TH=48 needed 16.65 MB)."""
+    scoped VMEM (probed on the round-4 halo form: upconv_1_1 at TH=48
+    needed 16.65 MB; the base form holds strictly less per row)."""
     cap = 50
     if row_bytes:
         cap = max(4, min(50, int(13.2e6 / row_bytes)))
@@ -103,16 +121,18 @@ def _tile(H_out: int, row_bytes: int = 0):
     return best
 
 
-def _row_bytes(halos_hc, Wf, FCo, db_in, db_out):
+def _row_bytes(fcs, Wf, FCo, db_in, db_out):
     """Per-output-row VMEM estimate for _tile: double-buffered inputs +
-    outputs, plus one merged-tap scratch copy at the widest input (lane
-    dims padded to 128)."""
+    outputs, plus the rolled wrap copies / act transform scratch at the
+    widest input (lane dims padded to 128). Deliberately conservative —
+    calibrated on the halo-form compile-time OOM datapoints, and the base
+    form's blocks are (F+2)/F smaller at the same TH."""
     def pad128(c):
         return -(-c // 128) * 128
 
-    rb_in = sum(Wf * pad128(hc) * db_in for hc in halos_hc)
+    rb_in = sum(Wf * pad128(fc) * db_in for fc in fcs)
     rb_out = Wf * pad128(FCo) * db_out
-    scratch = Wf * pad128(max(halos_hc)) * db_in
+    scratch = Wf * pad128(max(fcs)) * db_in
     return 2 * (rb_in + rb_out) + 2 * scratch
 
 
@@ -129,39 +149,6 @@ def _stack_windows(x, TH: int, nT: int):
                      axis=1)
 
 
-def _halo_w(xf, F: int, C: int):
-    """W-halo channels (no H pad): (B, H, Wf, F*C) -> (B, H, Wf, (F+2)*C)
-    with REFLECT borders (edge excluded, torch ReflectionPad2d semantics —
-    reference layers.py:100-130). Slot 0 of folded col j = original col
-    F*j - 1; slot F+1 = original col F*(j+1)."""
-    if F == 1:
-        lh = jnp.concatenate([xf[:, :, 1:2], xf[:, :, :-1]], axis=2)
-        rh = jnp.concatenate([xf[:, :, 1:], xf[:, :, -2:-1]], axis=2)
-        return jnp.concatenate([lh, xf, rh], axis=-1)
-    last = xf[..., (F - 1) * C:]
-    first = xf[..., :C]
-    lh = jnp.concatenate([xf[:, :, :1, C:2 * C], last[:, :, :-1]], axis=2)
-    rh = jnp.concatenate(
-        [first[:, :, 1:], xf[:, :, -1:, (F - 2) * C:(F - 1) * C]], axis=2)
-    return jnp.concatenate([lh, xf, rh], axis=-1)
-
-
-def _halo_w_zero(gf, F: int, C: int):
-    """W-halo channels with ZERO borders (input-grad correlation: the
-    cotangent is zero outside the image)."""
-    B, H, Wf, FC = gf.shape
-    z = jnp.zeros((B, H, 1, C), gf.dtype)
-    if F == 1:
-        lh = jnp.concatenate([z, gf[:, :, :-1]], axis=2)
-        rh = jnp.concatenate([gf[:, :, 1:], z], axis=2)
-        return jnp.concatenate([lh, gf, rh], axis=-1)
-    last = gf[..., (F - 1) * C:]
-    first = gf[..., :C]
-    lh = jnp.concatenate([z, last[:, :, :-1]], axis=2)
-    rh = jnp.concatenate([first[:, :, 1:], z], axis=2)
-    return jnp.concatenate([lh, gf, rh], axis=-1)
-
-
 def _reflect_h(xh):
     """H reflect pad by 1 row (edge excluded)."""
     return jnp.concatenate([xh[:, 1:2], xh, xh[:, -2:-1]], axis=1)
@@ -173,51 +160,110 @@ def _flip_swap(w):
     return jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
 
 
-def _halo_weights(w, F: int, dtype):
-    """(3, 3, Ci, Co) -> (3, (F+2)*Ci, F*Co) halo-form weights."""
-    wh = halo_kernel3x3(w, F)           # (3, 1, (F+2)Ci, F*Co)
-    return wh.reshape(wh.shape[0], wh.shape[2], wh.shape[3]).astype(dtype)
+def _base_weights(w, F: int, dtype):
+    """(3, 3, Ci, Co) -> the base-form W-tap weights, all slices of the
+    fold_kernel3x3 band kernel (ops/folded.py:82-104):
+      G0 (3, F*Ci, F*Co)  intra-column taps (band kernel's center W tap),
+      Gm (3,   Ci, F*Co)  left wrap (source slot F-1 -> out slot 0),
+      Gp (3,   Ci, F*Co)  right wrap (source slot 0 -> out slot F-1)."""
+    Ci = w.shape[2]
+    fk = fold_kernel3x3(w, F)
+    if F == 1:
+        return (fk[:, 1].astype(dtype), fk[:, 0].astype(dtype),
+                fk[:, 2].astype(dtype))
+    return (fk[:, 1].astype(dtype),
+            fk[:, 0, (F - 1) * Ci:].astype(dtype),
+            fk[:, 2, :Ci].astype(dtype))
 
 
-def _halo_indicator(F: int):
-    """The 0/1 map of halo_kernel3x3 (ops/folded.py:127-143), used to
-    project the halo-form weight grad back to the (3, 3, Ci, Co) base."""
-    ind = np.zeros((3, F + 2, F), np.float32)
-    for po in range(F):
-        for dx in (-1, 0, 1):
-            ind[dx + 1, po + 1 + dx, po] = 1.0
+def _fold_center_ind(F: int):
+    """(F, F, 3) 0/1 map of fold_kernel3x3's CENTER W tap: [pi, po, dx+1]
+    is 1 iff pi - po = dx — projects the dG0 grad back to (3, 3, Ci, Co)."""
+    ind = np.zeros((F, F, 3), np.float32)
+    for pi in range(F):
+        for po in range(F):
+            dx = pi - po
+            if -1 <= dx <= 1:
+                ind[pi, po, dx + 1] = 1.0
     return jnp.asarray(ind)
+
+
+def _project_dw(dG0, dGm, dGp, F: int, Ci: int, Co: int):
+    """Base-form weight grads -> (3, 3, Ci, Co): the adjoint of
+    _base_weights' placement."""
+    dw = jnp.einsum("ypcqb,pqd->ydcb",
+                    dG0.reshape(3, F, Ci, F, Co), _fold_center_ind(F))
+    dw = dw.at[:, 0].add(dGm[:, :, :Co])
+    dw = dw.at[:, 2].add(dGp[:, :, (F - 1) * Co:])
+    return dw
 
 
 # ---------------------------------------------------------------- kernels
 
-def _act_masks(TH, Wf, HC, Ci, F):
-    """Boolean masks over a (TH*Wf, HC) ky-slice marking positions whose
-    PRE-activation value is a structural zero (halo borders / H pad rows)
-    and must stay zero after the fused relu(x*s+b): the W border slots
-    (folded col 0 slot 0, col Wf-1 slot F+1) and the first/last slice
-    rows (only applied when the slice actually covers a pad row)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TH * Wf, HC), 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (TH * Wf, HC), 1)
+def _tap_operands(M, F, Ci, FC, TH, Wf, reflect):
+    """Shared operand construction for the conv and wgrad kernels: the
+    merged window M ((TH+2)*Wf, FC) -> per-ky (X, L, R) tap operands.
+
+    The cross-column W taps are +-1 row rolls of the wrap-slot lane
+    slice; the roll's wrapped rows coincide with the w==0 / w==Wf-1
+    border rows, which the select replaces with the W-reflect column
+    (reflect) or zero (zero pad)."""
+    L = TH * Wf
+    Sm = M[:, (F - 1) * Ci:] if F > 1 else M
+    Sp = M[:, :Ci]
+    Rm = pltpu.roll(Sm, 1, 0)                   # Rm[m] = Sm[m-1]
+    Rp = pltpu.roll(Sp, M.shape[0] - 1, 0)      # Rp[m] = Sp[m+1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, Ci), 0)
     col = rows - (rows // Wf) * Wf
-    border = jnp.logical_or(
-        jnp.logical_and(col == 0, lanes < Ci),
-        jnp.logical_and(col == Wf - 1, lanes >= (F + 1) * Ci))
-    row0 = rows < Wf
-    rowl = rows >= (TH - 1) * Wf
-    return border, row0, rowl
+    at_w0 = col == 0
+    at_wl = col == Wf - 1
+    out = []
+    for ky in range(3):
+        X = M[ky * Wf:ky * Wf + L]
+        Xm = Rm[ky * Wf:ky * Wf + L]
+        Xp = Rp[ky * Wf:ky * Wf + L]
+        if reflect:
+            # torch ReflectionPad2d (edge excluded): original col -1 ==
+            # col 1 (slot 1, or folded col +1 when F == 1); col W == col
+            # W-2 (slot F-2, or folded col -1 when F == 1)
+            refl_l = X[:, Ci:2 * Ci] if F > 1 else Xp
+            refl_r = X[:, (F - 2) * Ci:(F - 1) * Ci] if F > 1 else Xm
+            Lk = jnp.where(at_w0, refl_l, Xm)
+            Rk = jnp.where(at_wl, refl_r, Xp)
+        else:
+            z = jnp.zeros((), M.dtype)
+            Lk = jnp.where(at_w0, z, Xm)
+            Rk = jnp.where(at_wl, z, Xp)
+        out.append((X, Lk, Rk))
+    return out
 
 
-def _conv_kernel(*refs, n_in, TH, Wf, FCo, elu, out_dtype, act=False,
-                 act_F=0, use_bias=True):
-    """One (b, t) block: out[th, wf, :] = sum_i sum_ky
-    act(x_i[th+ky, wf, :]) @ w_i[ky] (+ bias, ELU). x blocks carry 2 halo
-    rows. With `act`, two extra (1, HC) refs (s, b) precede the output and
-    the input transform relu(x*s + b) — a BN affine + ReLU — runs on the
-    fly in VMEM (the activated tensor never exists in HBM)."""
+def _act_transform(M, s_ref, t_ref, TH, Wf):
+    """Fused BN-affine + ReLU input transform relu(M*s + t) on the merged
+    window, with the H zero-pad rows re-zeroed (relu(t) != 0 there; the
+    pad row is window row 0 only in tile 0 and row TH+1 only in the last
+    tile — eligible_enc guarantees no zero-extension rows exist)."""
+    M = jnp.maximum(M * s_ref[0][None, :] + t_ref[0][None, :],
+                    jnp.zeros((), M.dtype))
+    mrows = jax.lax.broadcasted_iota(jnp.int32, M.shape, 0)
+    first = pl.program_id(1) == 0
+    last = pl.program_id(1) == pl.num_programs(1) - 1
+    dead = jnp.logical_or(jnp.logical_and(mrows < Wf, first),
+                          jnp.logical_and(mrows >= (TH + 1) * Wf, last))
+    return jnp.where(dead, jnp.zeros((), M.dtype), M)
+
+
+def _conv_kernel(*refs, n_in, TH, Wf, FCo, F, Cis, elu, out_dtype,
+                 reflect, act=False, use_bias=True):
+    """One (b, t) block of the base-form folded conv (module docstring).
+    With `act`, two extra (1, FC) refs (s, t) precede the output and the
+    input transform relu(x*s + t) — a BN affine + ReLU — runs once per
+    window in VMEM (the activated tensor never exists in HBM)."""
     xs = refs[:n_in]
-    ws = refs[n_in:2 * n_in]
-    k = 2 * n_in
+    g0s = refs[n_in:2 * n_in]
+    gms = refs[2 * n_in:3 * n_in]
+    gps = refs[3 * n_in:4 * n_in]
+    k = 4 * n_in
     b_ref = refs[k] if use_bias else None
     k += use_bias
     s_ref = t_ref = None
@@ -227,30 +273,20 @@ def _conv_kernel(*refs, n_in, TH, Wf, FCo, elu, out_dtype, act=False,
     o_ref = refs[k]
     acc = None
     for i in range(n_in):
-        HC = xs[i].shape[-1]
+        FC = xs[i].shape[-1]
+        M = xs[i][0, 0].reshape((TH + 2) * Wf, FC)
         if act:
-            Ci = HC // (act_F + 2)
-            border, row0, rowl = _act_masks(TH, Wf, HC, Ci, act_F)
-            first = pl.program_id(1) == 0
-            last = pl.program_id(1) == pl.num_programs(1) - 1
-        for ky in range(3):
-            xk = xs[i][0, 0, ky:ky + TH].reshape(TH * Wf, HC)
-            if act:
-                xk = jnp.maximum(xk * s_ref[0][None, :] + t_ref[0][None, :],
-                                 jnp.zeros((), xk.dtype))
-                # the zero halo borders must STAY zero after the affine
-                # (the oracle pads the ACTIVATED tensor): re-zero the W
-                # border slots, and the H pad rows where this ky slice
-                # touches them (global row -1 in tile 0 / row H in the
-                # last tile)
-                dead = border
-                if ky == 0:
-                    dead = jnp.logical_or(dead, jnp.logical_and(row0, first))
-                if ky == 2:
-                    dead = jnp.logical_or(dead, jnp.logical_and(rowl, last))
-                xk = jnp.where(dead, jnp.zeros((), xk.dtype), xk)
+            M = _act_transform(M, s_ref, t_ref, TH, Wf)
+        taps = _tap_operands(M, F, Cis[i], FC, TH, Wf, reflect)
+        for ky, (X, Lk, Rk) in enumerate(taps):
             d = jax.lax.dot_general(
-                xk, ws[i][ky], (((1,), (0,)), ((), ())),
+                X, g0s[i][ky], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d = d + jax.lax.dot_general(
+                Lk, gms[i][ky], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d = d + jax.lax.dot_general(
+                Rk, gps[i][ky], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d
     y = acc
@@ -264,73 +300,36 @@ def _conv_kernel(*refs, n_in, TH, Wf, FCo, elu, out_dtype, act=False,
     o_ref[0, 0] = y.reshape(TH, Wf, FCo).astype(out_dtype)
 
 
-def _wgrad_kernel(*refs, TH, Wf, act=False, act_F=0):
-    """Accumulate dW_halo[ky] += act(x[th+ky])^T @ g over the (B, nT)
-    grid. Output block (3, HC, FCo) f32, constant index (TPU grids run
-    sequentially, so read-modify-write accumulation is safe). With `act`,
-    the input transform relu(x*s + b) is recomputed on the fly."""
-    x_ref, g_ref = refs[0], refs[1]
-    s_ref = t_ref = None
-    if act:
-        s_ref, t_ref = refs[2], refs[3]
-    o_ref = refs[-1]
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    HC = x_ref.shape[-1]
-    FCo = g_ref.shape[-1]
-    g = g_ref[0, 0].reshape(TH * Wf, FCo)
-
-    @pl.when(jnp.logical_and(b == 0, t == 0))
-    def _init():
-        o_ref[...] = jnp.zeros_like(o_ref)
-
-    if act:
-        Ci = HC // (act_F + 2)
-        border, row0, rowl = _act_masks(TH, Wf, HC, Ci, act_F)
-        first = t == 0
-        last = t == pl.num_programs(1) - 1
-    for ky in range(3):
-        xk = x_ref[0, 0, ky:ky + TH].reshape(TH * Wf, HC)
-        if act:
-            xk = jnp.maximum(xk * s_ref[0][None, :] + t_ref[0][None, :],
-                             jnp.zeros((), xk.dtype))
-            dead = border
-            if ky == 0:
-                dead = jnp.logical_or(dead, jnp.logical_and(row0, first))
-            if ky == 2:
-                dead = jnp.logical_or(dead, jnp.logical_and(rowl, last))
-            xk = jnp.where(dead, jnp.zeros((), xk.dtype), xk)
-        d = jax.lax.dot_general(xk, g, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o_ref[ky] += d
-
-
-def _run_conv(halos, whs, bias_f, *, H_out, Wf, FCo, elu, out_dtype,
-              interpret, act_sb=None, act_F=0):
-    """Drive _conv_kernel: halos are H-padded (>= H_out+2 rows) halo
-    tensors; returns (B, H_out, Wf, FCo) in out_dtype. act_sb: optional
-    ((1, HC) scale, (1, HC) bias) fused input transform relu(x*s+b)."""
-    B = halos[0].shape[0]
-    db = jnp.dtype(halos[0].dtype).itemsize
-    TH, nT, _ = _tile(H_out, _row_bytes([h.shape[-1] for h in halos], Wf,
+def _run_conv(bases, wts, bias_f, *, H_out, Wf, F, Cis, FCo, elu,
+              out_dtype, reflect, interpret, act_sb=None):
+    """Drive _conv_kernel: bases are H-padded (>= H_out+2 rows) FOLDED
+    tensors (B, ., Wf, F*Ci); wts = per-input (G0, Gm, Gp) triples;
+    returns (B, H_out, Wf, FCo) in out_dtype. act_sb: optional
+    ((1, FC) scale, (1, FC) bias) fused input transform relu(x*s+b)."""
+    B = bases[0].shape[0]
+    db = jnp.dtype(bases[0].dtype).itemsize
+    TH, nT, _ = _tile(H_out, _row_bytes([h.shape[-1] for h in bases], Wf,
                                         FCo, db, jnp.dtype(out_dtype)
                                         .itemsize))
     if act_sb is not None:
-        # the act masks only cover the REAL H-pad rows; zero-extension
-        # rows would activate to relu(b) != 0 at the last tile's masked
-        # position (eligible_enc pre-screens this)
+        # _act_transform's pad-row masks only cover the REAL H-pad rows;
+        # zero-extension rows would activate to relu(b) != 0 at the last
+        # tile's masked position (eligible_enc pre-screens this)
         assert nT * TH == H_out, (H_out, TH, nT)
-    stacks = [_stack_windows(h, TH, nT) for h in halos]
-    operands = list(stacks) + list(whs)
+    stacks = [_stack_windows(h, TH, nT) for h in bases]
+    operands = list(stacks)
     in_specs = []
     for h in stacks:
-        HC = h.shape[-1]
+        FC = h.shape[-1]
         in_specs.append(pl.BlockSpec(
-            (1, 1, TH + 2, Wf, HC),
+            (1, 1, TH + 2, Wf, FC),
             lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM))
-    for w in whs:
-        in_specs.append(pl.BlockSpec(
-            w.shape, lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM))
+    for gi in range(3):  # G0s, then Gms, then Gps (kernel unpack order)
+        for triple in wts:
+            w = triple[gi]
+            in_specs.append(pl.BlockSpec(
+                w.shape, lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM))
+            operands.append(w)
     use_bias = bias_f is not None
     if use_bias:
         in_specs.append(pl.BlockSpec((1, FCo), lambda b, t: (0, 0),
@@ -345,9 +344,9 @@ def _run_conv(halos, whs, bias_f, *, H_out, Wf, FCo, elu, out_dtype,
                             lambda b, t: (b, t, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_conv_kernel, n_in=len(halos), TH=TH, Wf=Wf, FCo=FCo,
-                elu=elu, out_dtype=out_dtype, act=act_sb is not None,
-                act_F=act_F, use_bias=use_bias),
+        partial(_conv_kernel, n_in=len(bases), TH=TH, Wf=Wf, FCo=FCo,
+                F=F, Cis=tuple(Cis), elu=elu, out_dtype=out_dtype,
+                reflect=reflect, act=act_sb is not None, use_bias=use_bias),
         grid=(B, nT),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -357,31 +356,73 @@ def _run_conv(halos, whs, bias_f, *, H_out, Wf, FCo, elu, out_dtype,
     return out.reshape(B, nT * TH, Wf, FCo)[:, :H_out]
 
 
-def _run_wgrad(halo, gp, *, H, Wf, interpret, act_sb=None, act_F=0):
-    """dW in halo form: (3, HC, FCo) f32. halo has H+2 rows, gp has H.
-    act_sb: optional fused relu(x*s+b) input transform (recomputed here
-    instead of materializing the activation for the backward)."""
-    B = halo.shape[0]
-    HC = halo.shape[-1]
+def _wgrad_kernel(*refs, TH, Wf, F, Ci, reflect, act=False):
+    """Accumulate the base-form weight grads over the (B, nT) grid:
+    dG0[ky] += X^T @ g, dGm[ky] += L^T @ g, dGp[ky] += R^T @ g — the SAME
+    tap operands as the forward (incl. the reflect/zero border selects,
+    so the reflect columns' grad lands on w[ky, 0/2] exactly as the
+    oracle's padded conv does). Output blocks are constant-indexed (TPU
+    grids run sequentially, so read-modify-write accumulation is safe).
+    With `act`, the input transform relu(x*s + b) is recomputed on the
+    fly."""
+    x_ref, g_ref = refs[0], refs[1]
+    s_ref = t_ref = None
+    if act:
+        s_ref, t_ref = refs[2], refs[3]
+    o0_ref, om_ref, op_ref = refs[-3], refs[-2], refs[-1]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    FC = x_ref.shape[-1]
+    FCo = g_ref.shape[-1]
+    g = g_ref[0, 0].reshape(TH * Wf, FCo)
+
+    @pl.when(jnp.logical_and(b == 0, t == 0))
+    def _init():
+        o0_ref[...] = jnp.zeros_like(o0_ref)
+        om_ref[...] = jnp.zeros_like(om_ref)
+        op_ref[...] = jnp.zeros_like(op_ref)
+
+    M = x_ref[0, 0].reshape((TH + 2) * Wf, FC)
+    if act:
+        M = _act_transform(M, s_ref, t_ref, TH, Wf)
+    taps = _tap_operands(M, F, Ci, FC, TH, Wf, reflect)
+    for ky, (X, Lk, Rk) in enumerate(taps):
+        o0_ref[ky] += jax.lax.dot_general(
+            X, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        om_ref[ky] += jax.lax.dot_general(
+            Lk, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        op_ref[ky] += jax.lax.dot_general(
+            Rk, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _run_wgrad(base, gp, *, H, Wf, F, Ci, reflect, interpret, act_sb=None):
+    """Base-form dW: (dG0 (3, FC, FCo), dGm (3, Ci, FCo), dGp) f32.
+    base has H+2 rows, gp has H. act_sb: optional fused relu(x*s+b)
+    input transform (recomputed here instead of materializing the
+    activation for the backward)."""
+    B = base.shape[0]
+    FC = base.shape[-1]
     FCo = gp.shape[-1]
-    db = jnp.dtype(halo.dtype).itemsize
-    TH, nT, pad = _tile(H, _row_bytes([HC], Wf, FCo, db,
+    db = jnp.dtype(base.dtype).itemsize
+    TH, nT, pad = _tile(H, _row_bytes([FC], Wf, FCo, db,
                                       jnp.dtype(gp.dtype).itemsize))
     if act_sb is not None:
-        # same invariant as _run_conv's act path: _act_masks only covers
-        # the REAL H-pad rows (first/last tile); a zero-extension row
-        # would recompute relu(b) != 0 and silently contaminate dW. The
-        # forward's assert protects this only while both _row_bytes calls
-        # coincide — fail loudly here if the tilings ever diverge.
+        # same invariant as _run_conv's act path: the pad-row masks only
+        # cover the REAL H-pad rows; a zero-extension row would recompute
+        # relu(b) != 0 and silently contaminate dW — fail loudly if the
+        # two tilings ever diverge
         assert nT * TH == H, (H, TH, nT)
-    xs = _stack_windows(halo, TH, nT)
+    xs = _stack_windows(base, TH, nT)
     if pad:
         gp = jnp.concatenate(
             [gp, jnp.zeros((B, pad, Wf, FCo), gp.dtype)], axis=1)
     gs = gp.reshape(B, nT, TH, Wf, FCo)
     operands = [xs, gs]
     in_specs = [
-        pl.BlockSpec((1, 1, TH + 2, Wf, HC),
+        pl.BlockSpec((1, 1, TH + 2, Wf, FC),
                      lambda b, t: (b, t, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, TH, Wf, FCo),
@@ -393,14 +434,19 @@ def _run_wgrad(halo, gp, *, H, Wf, interpret, act_sb=None, act_F=0):
             in_specs.append(pl.BlockSpec(v.shape, lambda b, t: (0, 0),
                                          memory_space=pltpu.VMEM))
             operands.append(v)
+    const = pl.BlockSpec((3, FC, FCo), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const_c = pl.BlockSpec((3, Ci, FCo), lambda b, t: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_wgrad_kernel, TH=TH, Wf=Wf, act=act_sb is not None,
-                act_F=act_F),
+        partial(_wgrad_kernel, TH=TH, Wf=Wf, F=F, Ci=Ci, reflect=reflect,
+                act=act_sb is not None),
         grid=(B, nT),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((3, HC, FCo), lambda b, t: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, HC, FCo), jnp.float32),
+        out_specs=(const, const_c, const_c),
+        out_shape=(jax.ShapeDtypeStruct((3, FC, FCo), jnp.float32),
+                   jax.ShapeDtypeStruct((3, Ci, FCo), jnp.float32),
+                   jax.ShapeDtypeStruct((3, Ci, FCo), jnp.float32)),
         interpret=interpret,
     )(*operands)
 
@@ -415,8 +461,8 @@ def fold_conv3x3_pallas(inputs, kernels, bias, F, Cis, elu, interpret):
     inputs: tuple of (B, H, Wf, F*Ci) folded tensors; kernels: matching
     tuple of (3, 3, Ci, Co) base weights; bias (Co,); Cis: static tuple
     of the original Ci. Returns (B, H, Wf, F*Co) in the input dtype.
-    Same multiply-add set as conv3x3_folded(..., halo=True); semantics =
-    reference layers.py ConvBlock/Conv3x3.
+    Same multiply-add set as conv3x3_folded; semantics = reference
+    layers.py ConvBlock/Conv3x3.
     """
     y, _ = _fwd(inputs, kernels, bias, F, Cis, elu, interpret)
     return y
@@ -428,11 +474,12 @@ def _fwd(inputs, kernels, bias, F, Cis, elu, interpret):
     dt = x0.dtype
     Co = kernels[0].shape[-1]
     FCo = F * Co
-    halos = [_reflect_h(_halo_w(x, F, Ci)) for x, Ci in zip(inputs, Cis)]
-    whs = [_halo_weights(w, F, dt) for w in kernels]
+    bases = [_reflect_h(x) for x in inputs]
+    wts = [_base_weights(w, F, dt) for w in kernels]
     bias_f = jnp.tile(bias, F).astype(jnp.float32).reshape(1, FCo)
-    y = _run_conv(halos, whs, bias_f, H_out=H, Wf=Wf, FCo=FCo, elu=elu,
-                  out_dtype=dt, interpret=interpret)
+    y = _run_conv(bases, wts, bias_f, H_out=H, Wf=Wf, F=F, Cis=Cis,
+                  FCo=FCo, elu=elu, out_dtype=dt, reflect=True,
+                  interpret=interpret)
     return y, (inputs, kernels, y if elu else None)
 
 
@@ -440,9 +487,9 @@ def _bwd(F, Cis, elu, interpret, res, g):
     """Padded-domain decomposition: fwd = Conv_valid(P(x)) with P the
     reflect pad, so dx = P^T(dXP). dXP over the interior columns is the
     zero-pad correlation with the flipped/transposed kernel (the SAME
-    Pallas kernel); its two W-pad columns are single-original-column
-    einsums in XLA; P^T then adds pad rows/cols to rows 1/H-2 and
-    original columns 1/W-2."""
+    Pallas kernel, zero-select borders); its two W-pad columns are
+    single-original-column einsums in XLA; P^T then adds pad rows/cols
+    to rows 1/H-2 and original columns 1/W-2."""
     inputs, kernels, y = res
     x0 = inputs[0]
     B, H, Wf, _ = x0.shape
@@ -458,14 +505,14 @@ def _bwd(F, Cis, elu, interpret, res, g):
     # dXP rows r in -1..H need gp rows r-1..r+1 -> pad gp by 2 each side
     z2 = jnp.zeros((B, 2, Wf, FCo), dt)
     gp_rows = jnp.concatenate([z2, gp, z2], axis=1)       # (B, H+4, Wf, FCo)
-    gph = _halo_w_zero(gp_rows, F, Co)
     W = Wf * F
     dxs = []
     for w, Ci in zip(kernels, Cis):
-        whT = _halo_weights(_flip_swap(w), F, dt)
-        dxp = _run_conv([gph], [whT], jnp.zeros((1, F * Ci), jnp.float32),
-                        H_out=H + 2, Wf=Wf, FCo=F * Ci, elu=False,
-                        out_dtype=jnp.float32, interpret=interpret)
+        wTt = _base_weights(_flip_swap(w), F, dt)
+        dxp = _run_conv([gp_rows], [wTt], None, H_out=H + 2, Wf=Wf, F=F,
+                        Cis=(Co,), FCo=F * Ci, elu=False,
+                        out_dtype=jnp.float32, reflect=False,
+                        interpret=interpret)
         # rows of dxp are padded rows -1..H: collapse the H reflect
         dx = dxp[:, 1:H + 1]
         dx = dx.at[:, 1].add(dxp[:, 0])
@@ -491,15 +538,13 @@ def _bwd(F, Cis, elu, interpret, res, g):
         u = u.at[:, :, W - 2].add(dpr)
         dxs.append(u.reshape(B, H, Wf, F * Ci).astype(x0.dtype))
 
-    # weight grads: halo-form Pallas accumulation + base projection
-    ind = _halo_indicator(F)
+    # weight grads: base-form Pallas accumulation + base projection
     dws = []
     for x, w, Ci in zip(inputs, kernels, Cis):
-        halo = _reflect_h(_halo_w(x, F, Ci))
-        dwh = _run_wgrad(halo, gp, H=H, Wf=Wf, interpret=interpret)
-        dwh = dwh.reshape(3, F + 2, Ci, F, Co)
-        dw = jnp.einsum("yscqb,dsq->ydcb", dwh, ind)
-        dws.append(dw.astype(w.dtype))
+        base = _reflect_h(x)
+        dG0, dGm, dGp = _run_wgrad(base, gp, H=H, Wf=Wf, F=F, Ci=Ci,
+                                   reflect=True, interpret=interpret)
+        dws.append(_project_dw(dG0, dGm, dGp, F, Ci, Co).astype(w.dtype))
 
     db = g.sum(axis=(0, 1, 2)).reshape(F, Co).sum(0).astype(jnp.float32)
     return tuple(dxs), tuple(dws), db
@@ -509,13 +554,6 @@ fold_conv3x3_pallas.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------- encoder variant (zero pad)
-
-def _sb_halo(v, F, Ci):
-    """(F*Ci,) per-lane affine vector -> (1, (F+2)*Ci) halo version: halo
-    slot 0 is the left neighbour's slot F-1, slot F+1 the right
-    neighbour's slot 0."""
-    return jnp.concatenate([v[(F - 1) * Ci:], v, v[:Ci]]).reshape(1, -1)
-
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fold_conv3x3_zero_pallas(x, w, s, b, F, Ci, act, interpret):
@@ -531,25 +569,27 @@ def fold_conv3x3_zero_pallas(x, w, s, b, F, Ci, act, interpret):
     return y
 
 
+def _zsb(s, b, dt):
+    return (s.astype(dt).reshape(1, -1), b.astype(dt).reshape(1, -1))
+
+
 def _zfwd(x, w, s, b, F, Ci, act, interpret):
-    B, H, Wf, _ = x.shape
+    B, H, Wf, FC = x.shape
     dt = x.dtype
     Co = w.shape[-1]
-    halo = _halo_w_zero(x, F, Ci)
-    z1 = jnp.zeros((B, 1) + halo.shape[2:], dt)
-    hpad = jnp.concatenate([z1, halo, z1], axis=1)
-    wh = _halo_weights(w, F, dt)
-    sb = ((_sb_halo(s.astype(dt), F, Ci), _sb_halo(b.astype(dt), F, Ci))
-          if act else None)
-    y = _run_conv([hpad], [wh], None, H_out=H, Wf=Wf, FCo=F * Co,
-                  elu=False, out_dtype=dt, interpret=interpret, act_sb=sb,
-                  act_F=F)
+    z1 = jnp.zeros((B, 1, Wf, FC), dt)
+    xpad = jnp.concatenate([z1, x, z1], axis=1)
+    wts = _base_weights(w, F, dt)
+    sb = _zsb(s, b, dt) if act else None
+    y = _run_conv([xpad], [wts], None, H_out=H, Wf=Wf, F=F, Cis=(Ci,),
+                  FCo=F * Co, elu=False, out_dtype=dt, reflect=False,
+                  interpret=interpret, act_sb=sb)
     return y, (x, w, s, b)
 
 
 def _zbwd(F, Ci, act, interpret, res, g):
     x, w, s, b = res
-    B, H, Wf, _ = x.shape
+    B, H, Wf, FC = x.shape
     dt = x.dtype
     Co = w.shape[-1]
     gp = g.astype(dt)
@@ -557,10 +597,10 @@ def _zbwd(F, Ci, act, interpret, res, g):
     # grad wrt the ACTIVATED input: zero-pad correlation, interior rows
     z2 = jnp.zeros((B, 2, Wf, F * Co), dt)
     gp_rows = jnp.concatenate([z2, gp, z2], axis=1)
-    gph = _halo_w_zero(gp_rows, F, Co)
-    whT = _halo_weights(_flip_swap(w), F, dt)
-    da = _run_conv([gph], [whT], None, H_out=H + 2, Wf=Wf, FCo=F * Ci,
-                   elu=False, out_dtype=dt, interpret=interpret)[:, 1:H + 1]
+    wTt = _base_weights(_flip_swap(w), F, dt)
+    da = _run_conv([gp_rows], [wTt], None, H_out=H + 2, Wf=Wf, F=F,
+                   Cis=(Co,), FCo=F * Ci, elu=False, out_dtype=dt,
+                   reflect=False, interpret=interpret)[:, 1:H + 1]
 
     if act:
         sf = s.astype(dt)
@@ -573,15 +613,13 @@ def _zbwd(F, Ci, act, interpret, res, g):
     else:
         dx, ds, db = da, jnp.zeros_like(s), jnp.zeros_like(b)
 
-    halo = _halo_w_zero(x, F, Ci)
-    z1 = jnp.zeros((B, 1) + halo.shape[2:], dt)
-    hpad = jnp.concatenate([z1, halo, z1], axis=1)
-    sb = ((_sb_halo(s.astype(dt), F, Ci), _sb_halo(b.astype(dt), F, Ci))
-          if act else None)
-    dwh = _run_wgrad(hpad, gp, H=H, Wf=Wf, interpret=interpret, act_sb=sb,
-                     act_F=F)
-    dwh = dwh.reshape(3, F + 2, Ci, F, Co)
-    dw = jnp.einsum("yscqb,dsq->ydcb", dwh, _halo_indicator(F))
+    z1 = jnp.zeros((B, 1, Wf, FC), dt)
+    xpad = jnp.concatenate([z1, x, z1], axis=1)
+    sb = _zsb(s, b, dt) if act else None
+    dG0, dGm, dGp = _run_wgrad(xpad, gp, H=H, Wf=Wf, F=F, Ci=Ci,
+                               reflect=False, interpret=interpret,
+                               act_sb=sb)
+    dw = _project_dw(dG0, dGm, dGp, F, Ci, Co)
     return dx, dw.astype(w.dtype), ds, db
 
 
@@ -589,7 +627,10 @@ fold_conv3x3_zero_pallas.defvjp(_zfwd, _zbwd)
 
 
 def analytic_costs(B, H, Wf, F, Cis, Co, dtype_bytes=2):
-    """(flops, hbm_bytes) per fwd+bwd call, for bench_anatomy --costs."""
+    """(flops, hbm_bytes) per fwd+bwd call, for bench_anatomy --costs.
+    MACs are the halo-equivalent (F+2)/F per dense MAC; bytes are the
+    base form's: each input read once fwd + once wgrad, the cotangent
+    read twice, plus the outputs."""
     HC = sum((F + 2) * Ci for Ci in Cis)
     FCo = F * Co
     m = B * H * Wf
@@ -598,6 +639,6 @@ def analytic_costs(B, H, Wf, F, Cis, Co, dtype_bytes=2):
         F * Ci for Ci in Cis) // max(FCo, 1)
     wgrad = fwd
     flops = fwd + dgrad + wgrad
-    bts = dtype_bytes * m * (2 * HC + 3 * FCo + 2 * sum(
-        F * Ci for Ci in Cis))
+    fci = sum(F * Ci for Ci in Cis)
+    bts = dtype_bytes * m * (2 * fci + 3 * FCo + 2 * fci)
     return flops, bts
