@@ -181,11 +181,10 @@ class DepthDecoder(nn.Module):
         depth_maps: {("disp", i): (B, Hi, Wi, 3[+3])} pseudo-3D injections
         (road mode). Returns {("disp", s): (B, Hs, Ws, C)} for s in scales.
         """
-        if (self.folded and self.use_skips and not self.deep
-                and not self.cat2end and not self.road
-                and depth_maps is None):
+        if (self.folded and self.use_skips and not self.cat2end
+                and self.road == (depth_maps is not None)):
             return self._folded_forward(input_features, beam_features,
-                                        two_channel)
+                                        two_channel, depth_maps)
 
         if self.skip_fold > 1:
             # seam features arrive folded but this path runs unfolded
@@ -234,10 +233,35 @@ class DepthDecoder(nn.Module):
 
         return outputs
 
-    def _folded_forward(self, input_features, beam_features, two_channel):
+    def _fblock(self, features, name):
+        """Folded-layout counterpart of _block: same param tree (deep ->
+        {a, b} ConvBlocks), folded call convention."""
+        if self.deep:
+            class _DeepF(nn.Module):
+                features: int
+                dtype: Any
+
+                @nn.compact
+                def __call__(inner, *, folded_inputs, in_ch, fold_F):
+                    tot = sum(in_ch)
+                    y = ConvBlock(tot, dtype=inner.dtype, name="a")(
+                        folded_inputs=folded_inputs, in_ch=in_ch,
+                        fold_F=fold_F)
+                    return ConvBlock(inner.features, dtype=inner.dtype,
+                                     name="b")(
+                        folded_inputs=[y], in_ch=[tot], fold_F=fold_F)
+
+            return _DeepF(features, self.dtype, name=name)
+        return ConvBlock(features, dtype=self.dtype, name=name)
+
+    def _folded_forward(self, input_features, beam_features, two_channel,
+                        depth_maps=None):
         """Same math as the generic path, in the W-folded layout; one
         refold (free reshape) after each upconv0 keeps every stage's lane
-        occupancy at 100% where W divisibility allows."""
+        occupancy at 100% where W divisibility allows. Covers the road
+        (+catxy) pseudo-3D injections and the deep (doubled-ConvBlock)
+        variant — the refine2d decoder's configuration — with the same
+        parameter tree as the generic path."""
         del two_channel  # cat2end handled by the generic path
         outputs = {}
 
@@ -270,7 +294,7 @@ class DepthDecoder(nn.Module):
 
         for i in range(4, -1, -1):
             co = NUM_CH_DEC[i]
-            xf = ConvBlock(co, dtype=self.dtype, name=f"upconv_{i}_0")(
+            xf = self._fblock(co, name=f"upconv_{i}_0")(
                 folded_inputs=[xf], in_ch=[C], fold_F=F)
             C = co
             # refold to the densest F the (pre-upsample) width allows
@@ -285,7 +309,12 @@ class DepthDecoder(nn.Module):
                 skf, skC = skip_folded(i - 1, F)
                 ins.append(skf)
                 chs.append(skC)
-            xf = ConvBlock(co, dtype=self.dtype, name=f"upconv_{i}_1")(
+            if (depth_maps is not None and i in self.scales
+                    and self.use_skips):
+                dm = depth_maps[("disp", i)].astype(self.dtype)
+                ins.append(fold(dm, F))
+                chs.append(dm.shape[-1])
+            xf = self._fblock(co, name=f"upconv_{i}_1")(
                 folded_inputs=ins, in_ch=chs, fold_F=F)
             C = co
             if i in self.scales:

@@ -87,6 +87,10 @@ class RefinerNets:
             road=True,
             catxy=cfg.catxy,
             deep=cfg.refine2d_deep,
+            # W-folded layout for the trainable road decoder too (round 5:
+            # same param tree, outputs equal the generic path to dtype
+            # tolerance — tests/test_folded.py road/deep cases)
+            folded=cfg.folded_decoder,
             tanh_head=cfg.refine_offset,
             # the stage-1 encoder hands levels 0-1 over folded when the
             # seam is on (models/fusion.py seam_fold); the generic road

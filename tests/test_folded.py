@@ -202,3 +202,48 @@ def test_decoder_folded_fallback_configs():
     params = dec.init(jax.random.PRNGKey(0), feats, two_channel=two_ch)
     out = dec.apply(params, feats, two_channel=two_ch)
     assert ("disp", 0) in out
+
+
+def test_decoder_folded_road_deep_matches_generic():
+    """Round 5: the folded path covers the refine2d configuration —
+    road(+catxy) pseudo-3D injections and deep doubled ConvBlocks — with
+    the SAME parameter tree; outputs and parameter grads match the
+    generic path."""
+    rng = np.random.default_rng(9)
+    B, H, W = 1, 64, 64
+    feats = _pyramid(rng, B=B, H=H, W=W)
+    beam = _pyramid(rng, B=B, H=H, W=W)
+    ch = 1 + 3 + 2  # scaled_disp + xyz (catxy) + 2channel
+    dmaps = {
+        ("disp", i): jnp.asarray(rng.normal(
+            size=(B, H // 2 ** i, W // 2 ** i, ch)).astype(np.float32))
+        for i in range(4)
+    }
+    dec_g = DepthDecoder(folded=False, road=True, catxy=True, deep=True)
+    dec_f = DepthDecoder(folded=True, road=True, catxy=True, deep=True)
+    params = dec_g.init(jax.random.PRNGKey(0), feats, beam_features=beam,
+                        depth_maps=dmaps)
+    params_f = dec_f.init(jax.random.PRNGKey(0), feats, beam_features=beam,
+                          depth_maps=dmaps)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, params_f)
+
+    out_g = dec_g.apply(params, feats, beam_features=beam, depth_maps=dmaps)
+    out_f = dec_f.apply(params, feats, beam_features=beam, depth_maps=dmaps)
+    assert set(out_g) == set(out_f)
+    for k in out_g:
+        np.testing.assert_allclose(np.asarray(out_f[k]), np.asarray(out_g[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(k))
+
+    def loss(dec):
+        def f(p):
+            out = dec.apply(p, feats, beam_features=beam, depth_maps=dmaps)
+            return sum(jnp.sum(v) for v in out.values())
+        return f
+
+    g_g = jax.grad(loss(dec_g))(params)
+    g_f = jax.grad(loss(dec_f))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4),
+        g_g, g_f)
