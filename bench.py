@@ -126,7 +126,12 @@ def flops_fields(flops_per_step: float, dt: float, bytes_per_step: float = 0.0):
     }
     if peak:
         out["peak_tflops_bf16"] = peak
+        # MFU of the SCHEDULED program: the folded convs run (F+2)/F the
+        # reference's dense MACs by design (PERF.md), so this is not
+        # dense-model MFU — it grounds "the MXU is busy", not "the model
+        # is cheap". samples/s is the honest headline.
         out["mfu"] = round(tflops / peak, 4)
+        out["mfu_note"] = "scheduled-program MFU; folded convs inflate MACs (F+2)/F vs the reference dense model"
     bw = None
     for key, gbps in PEAK_HBM_GBPS.items():
         if key in kind.lower():
@@ -138,8 +143,14 @@ def flops_fields(flops_per_step: float, dt: float, bytes_per_step: float = 0.0):
         memory_s = bytes_per_step / (bw * 1e9)
         roofline_s = max(compute_s, memory_s)
         out["roofline_ms"] = round(roofline_s * 1e3, 2)
+        # XLA cost-analysis bytes are fusion-blind (count every producer/
+        # consumer pair, fused or not) — an UPPER bound on HBM traffic, so
+        # roofline_frac OVERSTATES closeness to the hardware bound. The
+        # memory-space-aware audit (scripts/inspect_hlo.py, PERF.md) is
+        # the honest per-stage accounting.
         out["roofline_frac"] = round(roofline_s / dt, 3)
         out["roofline_bound"] = ("hbm" if memory_s > compute_s else "mxu")
+        out["roofline_note"] = "bytes_per_step is XLA fusion-blind (upper bound); honest HBM audit in PERF.md"
     return out
 
 

@@ -95,7 +95,7 @@ def eligible_enc(xf_shape, F: int, db_in: int = 2, db_out: int = 2) -> bool:
     and _run_conv compute the same (TH, nT, pad) (a float32 compute dtype
     tiles with 4-byte rows and can pick a smaller TH)."""
     _, H, Wf, FC = xf_shape
-    rb = _row_bytes([FC], Wf, FC, db_in, db_out)
+    rb = _row_bytes([FC], [FC // F], Wf, FC, db_in, db_out, act=True)
     return eligible(xf_shape, F) and _tile(H, rb)[2] == 0
 
 
@@ -121,19 +121,24 @@ def _tile(H_out: int, row_bytes: int = 0):
     return best
 
 
-def _row_bytes(fcs, Wf, FCo, db_in, db_out):
-    """Per-output-row VMEM estimate for _tile: double-buffered inputs +
-    outputs, plus the rolled wrap copies / act transform scratch at the
-    widest input (lane dims padded to 128). Deliberately conservative —
-    calibrated on the halo-form compile-time OOM datapoints, and the base
-    form's blocks are (F+2)/F smaller at the same TH."""
+def _row_bytes(fcs, cis, Wf, FCo, db_in, db_out, act=False):
+    """Per-output-row VMEM estimate for _tile, modeling what Mosaic keeps
+    live on the kernel stack (calibrated on a v5e compile OOM, round 5:
+    the dual-128-lane-input conv at TH=48 needed 20.21 MB ≈ 421 KB/row —
+    the f32 roll copies and dot accumulators dominate, not the blocks):
+    double-buffered input+output blocks, the f32 wrap-slot roll copies
+    (cast source + rolled result for each of Sm/Sp, 32-bit — Mosaic's
+    dynamic_rotate has no narrow-dtype lowering), the f32 accumulators,
+    and the act-transform scratch. Lane dims padded to 128."""
     def pad128(c):
         return -(-c // 128) * 128
 
     rb_in = sum(Wf * pad128(fc) * db_in for fc in fcs)
     rb_out = Wf * pad128(FCo) * db_out
-    scratch = Wf * pad128(max(fcs)) * db_in
-    return 2 * (rb_in + rb_out) + 2 * scratch
+    rolls = sum(4 * Wf * pad128(ci) * 4 for ci in cis)
+    acc = 2 * Wf * pad128(FCo) * 4
+    scratch = Wf * pad128(max(fcs)) * db_in if act else 0
+    return 2 * (rb_in + rb_out) + rolls + acc + scratch
 
 
 def _stack_windows(x, TH: int, nT: int):
@@ -209,10 +214,19 @@ def _tap_operands(M, F, Ci, FC, TH, Wf, reflect):
     border rows, which the select replaces with the W-reflect column
     (reflect) or zero (zero pad)."""
     L = TH * Wf
+
+    def roll_rows(v, shift):
+        # Mosaic's tpu.dynamic_rotate only lowers for 32-bit element
+        # types (probed on v5e: "Rotate with non-32-bit data" for bf16);
+        # roll narrow floats through f32 — exact (f32 holds every bf16)
+        if v.dtype.itemsize == 4:
+            return pltpu.roll(v, shift, 0)
+        return pltpu.roll(v.astype(jnp.float32), shift, 0).astype(v.dtype)
+
     Sm = M[:, (F - 1) * Ci:] if F > 1 else M
     Sp = M[:, :Ci]
-    Rm = pltpu.roll(Sm, 1, 0)                   # Rm[m] = Sm[m-1]
-    Rp = pltpu.roll(Sp, M.shape[0] - 1, 0)      # Rp[m] = Sp[m+1]
+    Rm = roll_rows(Sm, 1)                   # Rm[m] = Sm[m-1]
+    Rp = roll_rows(Sp, M.shape[0] - 1)      # Rp[m] = Sp[m+1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, Ci), 0)
     col = rows - (rows // Wf) * Wf
     at_w0 = col == 0
@@ -308,9 +322,10 @@ def _run_conv(bases, wts, bias_f, *, H_out, Wf, F, Cis, FCo, elu,
     ((1, FC) scale, (1, FC) bias) fused input transform relu(x*s+b)."""
     B = bases[0].shape[0]
     db = jnp.dtype(bases[0].dtype).itemsize
-    TH, nT, _ = _tile(H_out, _row_bytes([h.shape[-1] for h in bases], Wf,
-                                        FCo, db, jnp.dtype(out_dtype)
-                                        .itemsize))
+    TH, nT, _ = _tile(H_out, _row_bytes([h.shape[-1] for h in bases],
+                                        list(Cis), Wf, FCo, db,
+                                        jnp.dtype(out_dtype).itemsize,
+                                        act=act_sb is not None))
     if act_sb is not None:
         # _act_transform's pad-row masks only cover the REAL H-pad rows;
         # zero-extension rows would activate to relu(b) != 0 at the last
@@ -407,8 +422,9 @@ def _run_wgrad(base, gp, *, H, Wf, F, Ci, reflect, interpret, act_sb=None):
     FC = base.shape[-1]
     FCo = gp.shape[-1]
     db = jnp.dtype(base.dtype).itemsize
-    TH, nT, pad = _tile(H, _row_bytes([FC], Wf, FCo, db,
-                                      jnp.dtype(gp.dtype).itemsize))
+    TH, nT, pad = _tile(H, _row_bytes([FC], [Ci], Wf, FCo, db,
+                                      jnp.dtype(gp.dtype).itemsize,
+                                      act=act_sb is not None))
     if act_sb is not None:
         # same invariant as _run_conv's act path: the pad-row masks only
         # cover the REAL H-pad rows; a zero-extension row would recompute
