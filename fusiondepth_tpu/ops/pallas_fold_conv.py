@@ -49,6 +49,15 @@ Eligibility (the dispatcher falls back to the XLA path otherwise):
 Wf % 8 == 0 — the (TH, Wf) -> (TH*Wf, ·) merges must be free shape
 casts. Everything in the flagship decoder except the 6x20x512 stage
 qualifies.
+
+Hardware verdict (round 5, v5e b12 — PERF.md): NEGATIVE in context.
+Decoder kernels: net_grad 38.9 -> 62.8 ms; encoder fused-act kernels:
+38.9 -> 43.7 ms. The per-invocation cost is kernel-body serialization
+(the f32 wrap rolls + border selects between the 9 per-tile dots defeat
+Mosaic's MXU/VPU pipeline), not bytes — the XLA-side prep copies total
+~0.7 ms. Both kernels ship DEFAULT-OFF behind FUSIONDEPTH_PALLAS_FOLDCONV
+/ FUSIONDEPTH_PALLAS_ENCCONV as tested, exact formulations; the XLA
+band-conv path (ops/folded.py + fastpad) remains the production path.
 """
 
 from __future__ import annotations
