@@ -328,12 +328,41 @@ def bench_inference(cfg_kwargs, metric, batch=1):
 
 
 def bench_refiner(cfg_kwargs, batch=4):
+    """Config-4 stage-2 refine train step, SAME measurement model as
+    bench_train: S steps folded into one jitted lax.scan, ONE scalar
+    fetch. The round-4 recorded 64.24 samples/s used a per-step
+    float(loss) sync — on this tunnel that measures ~50 ms/step of
+    dispatch+fetch latency around a 9.3 ms device step (the refiner
+    anatomy pins the true step; PERF.md round 5)."""
+    import optax
+
     from fusiondepth_tpu.config import Config
     from fusiondepth_tpu.data.synthetic import make_batch
-    from fusiondepth_tpu.training.refiner_driver import Refiner
+    from fusiondepth_tpu.training.refiner import (
+        RefinerNets,
+        make_refine_loss_fn,
+    )
+    from fusiondepth_tpu.training.train_state import (
+        combine_variables,
+        create_train_state,
+        make_optimizer,
+    )
 
-    cfg = Config(batch_size=batch, **cfg_kwargs)
-    r = Refiner(cfg)
+    cfg_kwargs = dict(cfg_kwargs)
+    batch = cfg_kwargs.pop("batch_size", batch)
+    cfg = Config(batch_size=batch, **dict(
+        dict(clone_gdc=True, refine_2d=True), **cfg_kwargs))
+    nets = RefinerNets(cfg)
+    s1 = create_train_state(cfg, nets.stage1, jax.random.PRNGKey(cfg.seed),
+                            make_optimizer(cfg, 1))
+    frozen = combine_variables(s1.params, s1.batch_stats)
+    refine_params = nets.init_refine(jax.random.PRNGKey(cfg.seed + 2),
+                                     batch_size=batch)
+    tx = optax.adam(cfg.learning_rate * (batch / 8.0))
+    opt_state = tx.init(refine_params)
+    loss_fn = make_refine_loss_fn(cfg, nets)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     data = make_batch(cfg, batch_size=batch)
     import numpy as np
 
@@ -343,13 +372,43 @@ def bench_refiner(cfg_kwargs, batch=4):
     # host tunnel, not the computation
     data = jax.tree.map(jnp.asarray, data)
 
-    def run():
-        return r.run_step(data)["loss"]
+    S = SCAN_STEPS
 
-    dt = _timeit(run, iters=5, warmup=2)
+    def multi(rp, os_, fr, b, rng):
+        keys = jax.random.split(rng, S)
+
+        def body(carry, k):
+            rp, os_ = carry
+            (loss, _), g = grad_fn(rp, fr, b, k)
+            up, os_ = tx.update(g, os_, rp)
+            return (optax.apply_updates(rp, up), os_), loss
+
+        carry, losses = jax.lax.scan(body, (rp, os_), keys)
+        return carry, losses[-1]
+
+    multi = jax.jit(multi, donate_argnums=(0, 1),
+                    compiler_options=XOPTS or None)
+    flops, nbytes = compiled_costs(multi, refine_params, opt_state,
+                                   frozen, data, jax.random.PRNGKey(1))
+
+    holder = {"carry": (refine_params, opt_state),
+              "rng": jax.random.PRNGKey(1)}
+
+    def run():
+        holder["rng"], k = jax.random.split(holder["rng"])
+        holder["carry"], last_loss = multi(*holder["carry"], frozen, data, k)
+        return last_loss
+
+    stats = _timeit_stats(run, iters=1, warmup=2, trials=5)
+    dt = stats["median"] / S
     sps = batch / dt
-    return {"metric": "refine_samples_per_sec", "value": round(sps, 2),
-            "unit": "samples/s", "vs_baseline": round(sps / 100.0, 3)}
+    result = {"metric": f"refine_samples_per_sec_b{batch}",
+              "value": round(sps, 2), "unit": "samples/s",
+              "vs_baseline": round(sps / 100.0, 3), "scan_steps": S,
+              "step_ms": {k: round(stats[k] / S * 1e3, 2)
+                          for k in ("median", "min", "max")}}
+    result.update(flops_fields(flops, dt, nbytes))
+    return result
 
 
 def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
@@ -421,13 +480,13 @@ def bench_host_fed(cfg_kwargs, batch=4, n_frames=14, epochs=3):
 # dropped from the ladder. Best-expected-first; the last rungs are
 # fallbacks in case a kernel fails to compile.
 TRAIN_LADDER = [
-    ("r4_default_b24", dict(batch_size=24)),  # defaults, headline batch
-    ("r4_default_b12", dict()),               # defaults, trend batch
-    ("r4_foldconv_b24", dict(batch_size=24, _foldconv="1")),
+    ("r5_default_b24", dict(batch_size=24)),  # defaults, headline batch
+    ("r5_default_b32", dict(batch_size=32)),  # batch scaling headline bid
+    ("r5_default_b12", dict()),               # defaults, trend batch
+    ("r5_reproj_b24", dict(batch_size=24, pallas_reproj=True)),
     ("r4_warp_bw384_b24", dict(batch_size=24, _warpbw="384")),  # r3 band
     ("r4_no_seam_b12", dict(folded_seam=False)),  # seam A/B fallback
     ("r4_no_fold64_b12", dict(fold64_encoder=False)),  # pre-fold fallback
-    ("r4_reproj_b12", dict(pallas_reproj=True)),
     ("r2_no_pallas_pool_b12", dict(_pool="0")),
 ]
 
@@ -444,8 +503,8 @@ LADDER_BUDGET_S = float(__import__("os").environ.get(
 # is flagged loudly in the JSON and on stderr so round-over-round perf can't
 # silently slip while kernels churn (VERDICT r3 item 8).
 BEST_KNOWN_STEP_MS = {
-    "r4_default_b24": 118.82,   # BENCH_r04 r4_default_b24
-    "r4_default_b12": 64.28,    # PERF.md r4: fold_stem + seam + dyn256
+    "r5_default_b24": 118.82,   # BENCH_r04 r4_default_b24 (same config)
+    "r5_default_b12": 64.28,    # PERF.md r4: fold_stem + seam + dyn256
 }
 REGRESSION_TOL = 1.10
 
@@ -582,8 +641,13 @@ def main():
                 print(f"config 5: compiler option {k}={v} (pool-bwd kernel "
                       "stack needs >16 MB scoped VMEM at Wo=304)",
                       file=sys.stderr)
+        # remat=False: the r5 bisect (PERF.md) found remat + the Pallas
+        # pool-bwd kernel at Wo=304 SIGKILLs the server-side compiler
+        # (resource-limited process OOM); b2 fits HBM without remat and
+        # runs 7% faster. Memory fallback: --set remat=true with
+        # FUSIONDEPTH_PALLAS_POOL=0 (both legs measured green).
         cfg5 = dict(num_layers=50, height=352, width=1216, compute_dtype=dt,
-                    completion_num_layers=50, remat=True)
+                    completion_num_layers=50, remat=False)
         cfg5.update(_parse_set(getattr(args, "set", None)))
         result = bench_train(
             cfg5, "completion_samples_per_sec_r50_1216x352", batch=2)[-1]
