@@ -646,11 +646,16 @@ def main():
         # (resource-limited process OOM); b2 fits HBM without remat and
         # runs 7% faster. Memory fallback: --set remat=true with
         # FUSIONDEPTH_PALLAS_POOL=0 (both legs measured green).
-        cfg5 = dict(num_layers=50, height=352, width=1216, compute_dtype=dt,
+        # Built FROM base so pallas_warp=on_tpu carries over — the r4/r5
+        # bisect runs built this dict from scratch and silently benched
+        # the XLA gather warp (405.7 vs 117.4 ms/step at b2, PERF.md).
+        cfg5 = dict(base, num_layers=50, height=352, width=1216,
                     completion_num_layers=50, remat=False)
         cfg5.update(_parse_set(getattr(args, "set", None)))
+        # batch=4: 20.10 samples/s vs 17.12 at b2 (PERF.md wave 8); b8
+        # OOMs HBM without remat.
         result = bench_train(
-            cfg5, "completion_samples_per_sec_r50_1216x352", batch=2)[-1]
+            cfg5, "completion_samples_per_sec_r50_1216x352", batch=4)[-1]
         # config-5 baseline: A100 PyTorch full-res completion ~50 samples/s
         result["vs_baseline"] = round(
             result["value"] / 50.0, 3)
