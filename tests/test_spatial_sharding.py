@@ -16,6 +16,7 @@ from fusiondepth_tpu.parallel import (
     shard_batch_spatial,
 )
 from fusiondepth_tpu.training.train_state import (
+    combine_variables,
     make_loss_fn,
     split_variables,
 )
@@ -39,4 +40,28 @@ def test_spatial_sharding_matches_unsharded():
     batch_s = shard_batch_spatial(batch, mesh)
     l_shard, _ = loss_fn(params_s, stats_s, batch_s, rng)
 
-    np.testing.assert_allclose(float(l_plain), float(l_shard), rtol=2e-4)
+    # rtol: GSPMD partitioning reassociates the train-mode BN statistic
+    # and loss reductions; f32 scalar-loss drift is ~1e-4..1e-3 and varies
+    # per compile (same class as tests/test_pack2.py's documented f32
+    # scatter — a measured 5.8e-4 miss of the old 2e-4 bound, not a
+    # sharding error). The scalar loss at random init is also nearly
+    # INSENSITIVE to correspondence corruption (a 1-px target shift moves
+    # it only ~1.5e-4), so the sharp halo check is the per-pixel disparity
+    # comparison below, not this tolerance.
+    np.testing.assert_allclose(float(l_plain), float(l_shard), rtol=2e-3)
+
+    # Per-pixel output equivalence: a halo/boundary bug corrupts whole
+    # rows at the H-shard seams by O(0.1); with eval-mode BN (running
+    # stats — no statistic reassociation) the only legitimate sharded-vs-
+    # unsharded difference is conv reduction reassociation, ~1e-6 in f32.
+    variables = combine_variables(params, stats)
+    fwd = jax.jit(lambda v, b: nets.forward_depth(v, b, train=False)[0][
+        ("disp", 0)])
+    sub = {"color_aug": batch["color_aug"],
+           "two_channel": batch["two_channel"]}
+    d_plain = fwd(variables, sub)
+    sub_s = {"color_aug": batch_s["color_aug"],
+             "two_channel": batch_s["two_channel"]}
+    d_shard = fwd(jax.device_put(variables, rep), sub_s)
+    np.testing.assert_allclose(np.asarray(d_plain), np.asarray(d_shard),
+                               atol=1e-4)
